@@ -1,0 +1,511 @@
+"""IVFADC index — the TPU-native equivalent of `ivfhnsw::IndexIVF_HNSW`
+(/root/reference/IndexIVF_HNSW.{h,cpp}).
+
+Reference-surface parity map (file:line cites into /root/reference):
+
+==========================  ====================================================
+reference                   here
+==========================  ====================================================
+ctor (IndexIVF_HNSW.cpp:8)  ``IVFADCIndex(IndexConfig)``
+build_quantizer (:40-65)    ``set_centroids`` (exact matmul quantizer; no graph)
+  — (external k-means tool) ``train_centroids`` (on-TPU Lloyd's — new capability)
+assign (:68-72)             ``assign``
+add_batch (:75-138)         ``add_batch`` + ``finalize``
+add_batch2 (:140-204)       ``add_batch2`` (ORCV obuf records)
+search (:234-296)           ``search``
+search_debug (:328-391)     ``search(..., trace=True)`` + driver-side log writer
+search_enn (:393-451)       ``search_enn``
+search2 (:453-...)          ``search_precomputed``
+search2m (:503-531)         ``search_per_probe``
+train_pq (:536-593)         ``train_pq``
+write/read (:637-779)       ``write``/``read`` — bit-compatible .index format
+write2 (:672-755)           ``write2`` (ORCV home-dir export)
+compute_centroid_norms      ``compute_centroid_norms`` (:781-787)
+rotate_quantizer (:789)     not needed: orthogonal rotations preserve both
+                            ``||q - c||`` and ``||c||``, so coarse search and
+                            term1 are computed in the original space and only
+                            residuals/queries are rotated for the PQ terms.
+pq_L2sqr LUT scan (:802)    ops.adc.adc_scan (XLA) / ops.pallas ADC kernel
+reconstruct (:817-823)      ``reconstruct``
+compute_residuals (:825)    ``compute_residuals``
+==========================  ====================================================
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivfhnsw_tpu.ops import adc as adc_ops
+from ivfhnsw_tpu.ops import opq as opq_ops
+from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+from ivfhnsw_tpu.ops.pq import NormQuantizer, ProductQuantizer
+from ivfhnsw_tpu.ops.topk import topk_smallest
+from ivfhnsw_tpu.models.storage import (PostingListBuilder, PostingListStore,
+                                        store_from_lists)
+from ivfhnsw_tpu.utils import io
+from ivfhnsw_tpu.utils.config import IndexConfig, SearchParams
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "L", "coarse_block", "use_opq", "trace",
+                     "precision"))
+def _search_core(queries, centroids, centroid_norms, codebooks,
+                 norm_centroids, R, codes, ids, norm_codes, offsets,
+                 max_codes, *, nprobe: int, k: int, L: int, coarse_block: int,
+                 use_opq: bool, trace: bool,
+                 precision=jax.lax.Precision.HIGHEST):
+    """Jitted IVFADC search over a query batch.
+
+    Implements the 3-term ADC decomposition (IndexIVF_HNSW.cpp:206-233):
+    term1 = ||q - c||^2 - ||c||^2 (coarse), term2 = ||y||^2 (decoded norm
+    code), term3 = 2<q_rot, y_res_rot> (LUT gather).
+    """
+    # 1. Coarse quantization: exact top-nprobe over all centroids (replaces
+    #    HNSW searchKnn; probes come out sorted by ascending distance, which
+    #    the max_codes budget relies on — IndexIVF_HNSW.cpp:249-259).
+    qc_dists, probes = streaming_topk_l2(
+        queries, centroids, nprobe, block=coarse_block,
+        point_sqnorms=centroid_norms, precision=precision)
+
+    # 2. Per-query inner-product LUTs in the (optionally rotated) space.
+    q_rot = queries @ R.T if use_opq else queries
+    from ivfhnsw_tpu.ops.pq import _pq_ip_luts
+    luts = _pq_ip_luts(q_rot, codebooks, precision=precision)
+
+    # 3. Static-shape scan window with reference max_codes semantics.
+    pos, seg, valid, included = adc_ops.probe_positions(
+        probes, offsets, max_codes, L)
+
+    # 4. Gather codes / ids / norms; combine the non-LUT terms.
+    g_codes = jnp.take(codes, pos, axis=0)                     # [B, L, M]
+    g_ids = jnp.take(ids, pos, axis=0)                         # [B, L]
+    g_norm = jnp.take(norm_centroids,
+                      jnp.take(norm_codes, pos, axis=0).astype(jnp.int32),
+                      axis=0)                                  # [B, L]
+    term1_probe = qc_dists - jnp.take(centroid_norms, probes, axis=0)
+    term1 = jnp.take_along_axis(term1_probe, seg, axis=1)      # [B, L]
+    bias = term1 + g_norm
+
+    # 5. ADC LUT scan + top-k.
+    dists, sel = adc_ops.adc_scan(luts, g_codes, bias, valid, k)
+    labels = jnp.take_along_axis(g_ids, sel, axis=1)
+    labels = jnp.where(jnp.isfinite(dists), labels, -1)
+    if trace:
+        n_scanned = jnp.sum(valid, axis=1)
+        return dists, labels, (probes, qc_dists, included, n_scanned)
+    return dists, labels
+
+
+class IVFADCIndex:
+    """IVFADC: exact matmul coarse quantizer + OPQ-rotated residual PQ +
+    1-byte norm PQ, with flat sharded posting lists."""
+
+    def __init__(self, config: IndexConfig):
+        self.config = config.validate()
+        self.d = config.d
+        self.nc = config.nc
+        self.code_size = config.code_size
+        self.do_opq = config.do_opq
+
+        self.centroids: Optional[jnp.ndarray] = None       # [nc, d] f32
+        self.centroid_norms: Optional[jnp.ndarray] = None  # [nc] f32
+        self.pq = ProductQuantizer(config.d, config.pq_m, config.ksub)
+        self.norm_pq = NormQuantizer(config.ksub)
+        self.opq_R: Optional[jnp.ndarray] = None           # [d, d] f32
+        self.builder = PostingListBuilder(config.nc, config.pq_m)
+        self.store: Optional[PostingListStore] = None
+
+        # Knobs mirroring IndexIVF_HNSW.h:61-62 (overridable per call).
+        self.nprobe = 32
+        self.max_codes = 10000
+        # Coarse streaming block (centroid rows per MXU sweep step).
+        self.coarse_block = 16384
+        # Stats counter, analog of hnswlib dist_calc (hnswalg.h:58).
+        self.stats = {"queries": 0, "codes_scanned": 0}
+
+    # ------------------------------------------------------------------
+    # Quantizer setup
+    # ------------------------------------------------------------------
+
+    def train_centroids(self, key, train_data, niter: int = 20,
+                        verbose: bool = False) -> None:
+        """On-TPU coarse centroid learning (the reference outsources this to
+        an external k-means tool — README.md:56,62)."""
+        from ivfhnsw_tpu.ops.kmeans import kmeans
+        cents, _ = kmeans(key, train_data, self.nc, niter=niter,
+                          block_c=self.coarse_block, verbose=verbose)
+        self.set_centroids(np.asarray(cents))
+
+    def set_centroids(self, centroids) -> None:
+        """build_quantizer equivalent (IndexIVF_HNSW.cpp:40-65): install the
+        coarse centroids. No graph is built — the exact matmul top-k IS the
+        quantizer."""
+        centroids = np.asarray(centroids, np.float32)
+        if centroids.shape != (self.nc, self.d):
+            raise ValueError(f"centroids shape {centroids.shape} != "
+                             f"({self.nc}, {self.d})")
+        self.centroids = jnp.asarray(centroids)
+        self.compute_centroid_norms()
+
+    def load_centroids(self, path: str) -> None:
+        self.set_centroids(io.read_xvec_fvec(path, self.d, self.nc))
+
+    def compute_centroid_norms(self) -> None:
+        """IndexIVF_HNSW.cpp:781-787."""
+        self.centroid_norms = jnp.sum(self.centroids ** 2, axis=1)
+
+    # ------------------------------------------------------------------
+    # Assignment / training
+    # ------------------------------------------------------------------
+
+    def assign(self, x, batch: int = 262144) -> np.ndarray:
+        """Nearest-centroid ids for x [n, d] (IndexIVF_HNSW.cpp:68-72), in
+        streamed batches. Returns int32 [n]."""
+        x = np.asarray(x, np.float32)
+        out = np.empty(x.shape[0], np.int32)
+        for off in range(0, x.shape[0], batch):
+            blk = jnp.asarray(x[off:off + batch])
+            _, idx = streaming_topk_l2(blk, self.centroids, 1,
+                                       block=self.coarse_block,
+                                       point_sqnorms=self.centroid_norms)
+            out[off:off + batch] = np.asarray(idx[:, 0])
+        return out
+
+    def compute_residuals(self, x, keys) -> jnp.ndarray:
+        """x - centroid[key] (IndexIVF_HNSW.cpp:825-831)."""
+        return jnp.asarray(x, jnp.float32) - self.centroids[jnp.asarray(keys)]
+
+    def reconstruct(self, decoded_residuals, keys) -> jnp.ndarray:
+        """decoded residual + centroid (IndexIVF_HNSW.cpp:817-823)."""
+        return jnp.asarray(decoded_residuals) + self.centroids[jnp.asarray(keys)]
+
+    def train_pq(self, key, train_data, precomputed_idx=None,
+                 pq_niter: int = 25, opq_niter: int = 20,
+                 verbose: bool = False) -> None:
+        """train_pq equivalent (IndexIVF_HNSW.cpp:536-593): assign, residual,
+        [OPQ], PQ, then norm-PQ on reconstruction norms."""
+        x = np.asarray(train_data, np.float32)
+        keys = (np.asarray(precomputed_idx, np.int32)
+                if precomputed_idx is not None else self.assign(x))
+        residuals = self.compute_residuals(x, keys)
+        k_opq, k_pq, k_norm = jax.random.split(key, 3)
+        if self.do_opq:
+            self.opq_R, self.pq = opq_ops.train_opq(
+                k_opq, residuals, self.config.pq_m, niter=opq_niter,
+                final_pq_niter=pq_niter, ksub=self.config.ksub,
+                verbose=verbose)
+            rotated = opq_ops.apply_rotation(residuals, self.opq_R)
+        else:
+            self.pq.train(k_pq, residuals, niter=pq_niter)
+            rotated = residuals
+        # Norm quantizer trains on norms of the full reconstructions
+        # (IndexIVF_HNSW.cpp:567-592).
+        decoded = self.pq.decode(self.pq.encode(rotated))
+        if self.do_opq:
+            decoded = opq_ops.apply_rotation_transpose(decoded, self.opq_R)
+        recon = self.reconstruct(decoded, keys)
+        norms = jnp.sum(recon ** 2, axis=1)
+        self.norm_pq.train(k_norm, norms)
+
+    # ------------------------------------------------------------------
+    # Adding vectors
+    # ------------------------------------------------------------------
+
+    def _encode_batch(self, x, keys):
+        """Shared encode pipeline: residual -> [rotate] -> PQ -> decode ->
+        [unrotate] -> reconstruct -> norm code (IndexIVF_HNSW.cpp:87-121)."""
+        residuals = self.compute_residuals(x, keys)
+        if self.do_opq:
+            residuals = opq_ops.apply_rotation(residuals, self.opq_R)
+        codes = self.pq.encode(residuals)
+        decoded = self.pq.decode(codes)
+        if self.do_opq:
+            decoded = opq_ops.apply_rotation_transpose(decoded, self.opq_R)
+        recon = self.reconstruct(decoded, keys)
+        norms = jnp.sum(recon ** 2, axis=1)
+        norm_codes = self.norm_pq.encode(norms)
+        return codes, norm_codes
+
+    def add_batch(self, x, xids=None, precomputed_idx=None) -> None:
+        """add_batch equivalent (IndexIVF_HNSW.cpp:75-138). Call finalize()
+        after the last batch to build the device store."""
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        keys = (np.asarray(precomputed_idx, np.int32)
+                if precomputed_idx is not None else self.assign(x))
+        if xids is None:
+            xids = np.arange(self.builder.ntotal,
+                             self.builder.ntotal + n, dtype=np.int32)
+        codes, norm_codes = self._encode_batch(jnp.asarray(x), keys)
+        self.builder.add(keys, xids, np.asarray(codes), np.asarray(norm_codes))
+        self.store = None
+
+    def add_batch2(self, x, xids, precomputed_idx, eids) -> bytes:
+        """add_batch2 equivalent (IndexIVF_HNSW.cpp:140-204): also add to the
+        index, and return the ORCV output buffer of per-vector records
+        [8B eid | code_size B PQ code | 1B norm code]."""
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        keys = np.asarray(precomputed_idx, np.int32)
+        codes, norm_codes = self._encode_batch(jnp.asarray(x), keys)
+        codes_np = np.asarray(codes)
+        norms_np = np.asarray(norm_codes)
+        self.builder.add(keys, xids, codes_np, norms_np)
+        self.store = None
+        rec = np.dtype([("eid", "<u8"), ("code", "u1", (self.config.pq_m,)),
+                        ("norm", "u1")])
+        buf = np.empty(n, rec)
+        buf["eid"] = np.asarray(eids, np.uint64)
+        buf["code"] = codes_np
+        buf["norm"] = norms_np
+        return buf.tobytes()
+
+    def finalize(self) -> None:
+        self.store = self.builder.finalize()
+
+    def _ensure_store(self) -> PostingListStore:
+        if self.store is None:
+            self.finalize()
+        return self.store
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    def _scan_budget(self, params: SearchParams) -> int:
+        """Static padded scan length: budget + the one list allowed to cross
+        it (IndexIVF_HNSW.cpp:290-292), rounded for layout friendliness."""
+        if params.scan_budget is not None:
+            return params.scan_budget
+        store = self._ensure_store()
+        mx = store.max_list_size()
+        if params.max_codes and params.max_codes > 0:
+            budget = params.max_codes + mx
+        else:
+            budget = mx * params.nprobe
+        return _round_up(max(budget, 128), 128)
+
+    def search(self, queries, params: SearchParams | None = None,
+               batch: int = 8192, trace: bool = False):
+        """Batched query search. Returns (dists [nq, k], labels [nq, k]);
+        with trace=True additionally a dict of per-query probe diagnostics
+        (the search_debug analog, IndexIVF_HNSW.cpp:328-391)."""
+        params = params or SearchParams(k=10, nprobe=self.nprobe,
+                                        max_codes=self.max_codes)
+        store = self._ensure_store()
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        L = self._scan_budget(params)
+        nprobe = min(params.nprobe, self.nc)
+
+        out_d = np.empty((nq, params.k), np.float32)
+        out_l = np.empty((nq, params.k), np.int64)
+        traces = [] if trace else None
+        for off in range(0, nq, batch):
+            blk = queries[off:off + batch]
+            n = blk.shape[0]
+            if n < batch and nq > batch:
+                blk = np.pad(blk, ((0, batch - n), (0, 0)))
+            res = _search_core(
+                jnp.asarray(blk), self.centroids, self.centroid_norms,
+                self.pq.codebooks, self.norm_pq.centroids,
+                self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
+                store.codes, store.ids, store.norm_codes, store.list_offsets,
+                jnp.int32(params.max_codes),
+                nprobe=nprobe, k=params.k, L=L,
+                coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+                use_opq=self.do_opq, trace=trace)
+            if trace:
+                d, l, tr = res
+                traces.append(tuple(np.asarray(t)[:n] for t in tr))
+                self.stats["codes_scanned"] += int(np.sum(traces[-1][3]))
+            else:
+                d, l = res
+            out_d[off:off + n] = np.asarray(d)[:n]
+            out_l[off:off + n] = np.asarray(l)[:n]
+        self.stats["queries"] += nq
+        if trace:
+            probes, qc, inc, nsc = (np.concatenate([t[i] for t in traces])
+                                    for i in range(4))
+            return out_d, out_l, {"probes": probes, "qc_dists": qc,
+                                  "included": inc, "n_scanned": nsc}
+        return out_d, out_l
+
+    def search_precomputed(self, queries, probes, qc_dists,
+                           params: SearchParams):
+        """search2 equivalent (IndexIVF_HNSW.h:178): search with externally
+        provided (centroid idx, query-centroid distance) probe lists."""
+        store = self._ensure_store()
+        queries = jnp.asarray(queries, jnp.float32)
+        probes = jnp.asarray(probes, jnp.int32)
+        qc_dists = jnp.asarray(qc_dists, jnp.float32)
+        L = self._scan_budget(params)
+        q_rot = (opq_ops.apply_rotation(queries, self.opq_R)
+                 if self.do_opq else queries)
+        luts = self.pq.ip_luts(q_rot)
+        pos, seg, valid, _ = adc_ops.probe_positions(
+            probes, store.list_offsets, jnp.int32(params.max_codes), L)
+        g_codes = jnp.take(store.codes, pos, axis=0)
+        g_ids = jnp.take(store.ids, pos, axis=0)
+        g_norm = self.norm_pq.decode(jnp.take(store.norm_codes, pos, axis=0))
+        term1_probe = qc_dists - jnp.take(self.centroid_norms, probes, axis=0)
+        bias = jnp.take_along_axis(term1_probe, seg, axis=1) + g_norm
+        dists, sel = adc_ops.adc_scan(luts, g_codes, bias, valid, params.k)
+        labels = jnp.take_along_axis(g_ids, sel, axis=1)
+        return np.asarray(dists), np.asarray(labels)
+
+    def search_per_probe(self, queries, params: SearchParams):
+        """search2m equivalent (IndexIVF_HNSW.cpp:503-531): independent top-k
+        per probe. Returns (dists [nq, nprobe, k], labels [nq, nprobe, k])."""
+        store = self._ensure_store()
+        queries = jnp.asarray(queries, jnp.float32)
+        nprobe = min(params.nprobe, self.nc)
+        qc_dists, probes = streaming_topk_l2(
+            queries, self.centroids, nprobe, block=self.coarse_block,
+            point_sqnorms=self.centroid_norms)
+        L = self._scan_budget(params)
+        q_rot = (opq_ops.apply_rotation(queries, self.opq_R)
+                 if self.do_opq else queries)
+        luts = self.pq.ip_luts(q_rot)
+        pos, seg, valid, _ = adc_ops.probe_positions(
+            probes, store.list_offsets, jnp.int32(0), L)
+        g_codes = jnp.take(store.codes, pos, axis=0)
+        g_ids = jnp.take(store.ids, pos, axis=0)
+        g_norm = self.norm_pq.decode(jnp.take(store.norm_codes, pos, axis=0))
+        term1_probe = qc_dists - jnp.take(self.centroid_norms, probes, axis=0)
+        bias = jnp.take_along_axis(term1_probe, seg, axis=1) + g_norm
+        idx = g_codes.astype(jnp.int32).transpose(0, 2, 1)
+        t3 = jnp.sum(jnp.take_along_axis(luts, idx, axis=2), axis=1)
+        dist = jnp.where(valid, bias - 2.0 * t3, jnp.inf)
+        # Mask per probe slot, top-k within each.
+        per = []
+        for p in range(nprobe):
+            dp = jnp.where(seg == p, dist, jnp.inf)
+            d, s = topk_smallest(dp, params.k)
+            per.append((d, jnp.take_along_axis(g_ids, s, axis=1)))
+        dists = jnp.stack([d for d, _ in per], axis=1)
+        labels = jnp.stack([l for _, l in per], axis=1)
+        return np.asarray(dists), np.asarray(labels)
+
+    def search_enn(self, x):
+        """search_enn equivalent (IndexIVF_HNSW.cpp:393-451): exact-self-match
+        smoke test — nprobe=1, k=1 search of stored vectors."""
+        p = SearchParams(k=1, nprobe=1, max_codes=0)
+        d, l = self.search(x, p)
+        return d[:, 0], l[:, 0]
+
+    # ------------------------------------------------------------------
+    # Serialization — bit-compatible with the reference .index format
+    # (IndexIVF_HNSW.cpp:637-669 write / :757-779 read):
+    # [u64 d | u64 nc | nc x lenvec<u32> ids | nc x lenvec<u8> codes |
+    #  nc x lenvec<u8> norm_codes | lenvec<f32> centroid_norms]
+    # where lenvec<T> = [u32 count | count*T].
+    # ------------------------------------------------------------------
+
+    def write(self, path: str, do_trunc: bool = True) -> None:
+        store = self._ensure_store()
+        off = np.asarray(store.list_offsets)
+        ids = np.asarray(store.ids, "<u4")
+        codes = np.asarray(store.codes)
+        ncodes = np.asarray(store.norm_codes)
+        with open(path, "wb" if do_trunc else "ab") as f:
+            io.write_variable(f, self.d, "<u8")
+            io.write_variable(f, self.nc, "<u8")
+            for c in range(self.nc):
+                io.write_len_vector(f, ids[off[c]:off[c + 1]])
+            for c in range(self.nc):
+                io.write_len_vector(f, codes[off[c]:off[c + 1]])
+            for c in range(self.nc):
+                io.write_len_vector(f, ncodes[off[c]:off[c + 1]])
+            io.write_len_vector(f, np.asarray(self.centroid_norms, "<f4"))
+
+    def read(self, path: str) -> None:
+        """Parse the whole file buffer in one pass (the reference does 3*nc
+        stream reads; at nc=2^20 per-call overhead matters)."""
+        buf = np.fromfile(path, dtype=np.uint8)
+        pos = 0
+
+        def take(dtype, count):
+            nonlocal pos
+            dt = np.dtype(dtype)
+            out = buf[pos:pos + dt.itemsize * count].view(dt)
+            pos += dt.itemsize * count
+            return out
+
+        def take_lenvec(dtype):
+            n = int(take("<u4", 1)[0])
+            return take(dtype, n)
+
+        d = int(take("<u8", 1)[0])
+        nc = int(take("<u8", 1)[0])
+        if (d, nc) != (self.d, self.nc):
+            raise ValueError(f"index file (d={d}, nc={nc}) != config "
+                             f"({self.d}, {self.nc})")
+        ids = [take_lenvec("<u4").astype(np.int32) for _ in range(nc)]
+        codes = [take_lenvec("u1").reshape(-1, self.config.pq_m)
+                 for _ in range(nc)]
+        ncodes = [take_lenvec("u1") for _ in range(nc)]
+        self.store = store_from_lists(
+            nc, self.config.pq_m, zip(ids, codes, ncodes))
+        self.builder = PostingListBuilder(self.nc, self.config.pq_m)
+        norms = take_lenvec("<f4")
+        if norms.size == nc:
+            self.centroid_norms = jnp.asarray(norms)
+
+    def write2(self, home_dir: str, n_vecs: int) -> None:
+        """ORCV persistent-index export (write2, IndexIVF_HNSW.cpp:672-755):
+        home dir with hdr.vec / cnorms.vec / pq.vec / normpq.vec (+opq.vec
+        when OPQ: rotated centroids). The edge.vec graph file has no analog
+        (no graph) and is written empty."""
+        from ivfhnsw_tpu.utils.orcv import OrcvHeader
+        os.makedirs(home_dir, exist_ok=True)
+        store = self._ensure_store()
+        hdr = OrcvHeader(
+            n=n_vecs, nc=self.nc, code_size=self.code_size,
+            code_bytes=self.code_size // 8, d=self.d, M=self.config.M,
+            efConstruction=self.config.efConstruction,
+            do_opq=1 if self.do_opq else 0)
+        hdr.write(os.path.join(home_dir, "hdr.vec"))
+        with open(os.path.join(home_dir, "cnorms.vec"), "wb") as f:
+            io.write_len_vector(f, np.asarray(self.centroid_norms, "<f4"))
+        off = np.asarray(store.list_offsets)
+        codes = np.asarray(store.codes)
+        ncodes = np.asarray(store.norm_codes)
+        with open(os.path.join(home_dir, "pq.vec"), "wb") as f:
+            for c in range(self.nc):
+                io.write_len_vector(f, codes[off[c]:off[c + 1]])
+        with open(os.path.join(home_dir, "normpq.vec"), "wb") as f:
+            for c in range(self.nc):
+                io.write_len_vector(f, ncodes[off[c]:off[c + 1]])
+        if self.do_opq:
+            with open(os.path.join(home_dir, "opq.vec"), "wb") as f:
+                rotated = opq_ops.apply_rotation(self.centroids, self.opq_R)
+                io.write_len_vector(f, np.asarray(rotated, "<f4").ravel())
+        open(os.path.join(home_dir, "edge.vec"), "wb").close()
+
+    # -- quantizer artifacts ------------------------------------------------
+
+    def save_quantizers(self, path_pq: str, path_norm_pq: str,
+                        path_opq: str = "") -> None:
+        self.pq.save(path_pq)
+        self.norm_pq.save(path_norm_pq)
+        if self.do_opq and path_opq:
+            opq_ops.save_rotation(path_opq, self.opq_R)
+
+    def load_quantizers(self, path_pq: str, path_norm_pq: str,
+                        path_opq: str = "") -> None:
+        self.pq = ProductQuantizer.load(path_pq)
+        self.norm_pq = NormQuantizer.load(path_norm_pq)
+        if self.do_opq and path_opq:
+            self.opq_R = opq_ops.load_rotation(path_opq)

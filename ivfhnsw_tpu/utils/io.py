@@ -1,0 +1,181 @@
+"""Binary vector-file IO, bit-compatible with the reference formats.
+
+The reference (utils.h:85-127 in /root/reference) uses two on-disk layouts:
+
+- **xvec** (``.bvecs``/``.fvecs``/``.ivecs``): every record is
+  ``[uint32 dim | dim * sizeof(T) payload]``. ``readXvec`` validates that each
+  record's dim prefix equals the expected d and exits on mismatch
+  (utils.h:91-94); we raise ``ValueError`` instead.
+- **length-prefixed vector** (``read_vector``/``write_vector``,
+  utils.h:59-81): ``[uint32 count | count * sizeof(T) payload]`` — used inside
+  the serialized index file.
+
+All readers here are numpy-based and zero-copy where possible (memmap for
+whole-file access, ``np.fromfile`` with offsets for streamed batches), because
+host-side decode throughput matters at 10^9-vector scale.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+# Map file extension -> payload dtype, matching reference conventions.
+XVEC_DTYPES = {
+    ".bvecs": np.uint8,
+    ".fvecs": np.float32,
+    ".ivecs": np.int32,
+}
+
+
+def _xvec_dtype(d: int, dtype) -> np.dtype:
+    """Structured dtype of one xvec record: [u32 dim | d payload elements]."""
+    return np.dtype([("dim", "<u4"), ("vec", np.dtype(dtype), (d,))])
+
+
+def infer_xvec_dim(path: str, dtype) -> int:
+    """Read the first record's dim prefix."""
+    with open(path, "rb") as f:
+        raw = f.read(4)
+    if len(raw) < 4:
+        raise ValueError(f"{path}: too short for an xvec file")
+    return int(np.frombuffer(raw, dtype="<u4")[0])
+
+
+def xvec_count(path: str, d: int, dtype) -> int:
+    """Number of records in an xvec file (validates the file size is an exact
+    multiple of the record size, like base_vec_num at utils.cpp:204-220)."""
+    rec = _xvec_dtype(d, dtype).itemsize
+    size = os.path.getsize(path)
+    if size % rec != 0:
+        raise ValueError(f"{path}: size {size} not a multiple of record size {rec}")
+    return size // rec
+
+
+def read_xvec(path: str, d: int, n: int | None = None, offset: int = 0,
+              dtype=None, mmap: bool = False) -> np.ndarray:
+    """Read n records of dimension d starting at record `offset`.
+
+    Equivalent of readXvec (utils.h:85-97). Returns [n, d] array of the
+    payload dtype. dtype defaults by extension.
+    """
+    if dtype is None:
+        dtype = XVEC_DTYPES[os.path.splitext(path)[1]]
+    rec = _xvec_dtype(d, dtype)
+    total = xvec_count(path, d, dtype)
+    if n is None:
+        n = total - offset
+    if offset + n > total:
+        raise ValueError(f"{path}: requested records [{offset}, {offset + n}) "
+                         f"but file has {total}")
+    if mmap:
+        m = np.memmap(path, dtype=rec, mode="r", offset=offset * rec.itemsize,
+                      shape=(n,))
+        dims, vecs = m["dim"], m["vec"]
+    else:
+        with open(path, "rb") as f:
+            f.seek(offset * rec.itemsize)
+            data = np.fromfile(f, dtype=rec, count=n)
+        dims, vecs = data["dim"], data["vec"]
+    if n > 0 and not (dims == d).all():
+        bad = int(np.argmax(dims != d))
+        raise ValueError(f"{path}: record {offset + bad} has dim {dims[bad]}, expected {d}")
+    return vecs
+
+
+def read_xvec_fvec(path: str, d: int, n: int | None = None, offset: int = 0,
+                   dtype=None) -> np.ndarray:
+    """readXvecFvec equivalent (utils.h:112-127): read any xvec payload and
+    promote to float32."""
+    return read_xvec(path, d, n, offset, dtype=dtype).astype(np.float32)
+
+
+def write_xvec(path_or_file, data: np.ndarray, append: bool = False) -> None:
+    """writeXvec equivalent (utils.h:100-109): write [n, d] array with a
+    uint32 dim prefix per record."""
+    data = np.ascontiguousarray(data)
+    n, d = data.shape
+    rec = np.empty(n, dtype=_xvec_dtype(d, data.dtype))
+    rec["dim"] = d
+    rec["vec"] = data
+    if isinstance(path_or_file, (str, os.PathLike)):
+        with open(path_or_file, "ab" if append else "wb") as f:
+            rec.tofile(f)
+    else:
+        rec.tofile(path_or_file)
+
+
+def iter_xvec_batches(path: str, d: int, batch: int, dtype=None,
+                      limit: int | None = None) -> Iterator[np.ndarray]:
+    """Stream an xvec file in batches of `batch` records (the add_batch loop
+    pattern, test_ivfhnsw_sift1b.cpp:142-153)."""
+    if dtype is None:
+        dtype = XVEC_DTYPES[os.path.splitext(path)[1]]
+    total = xvec_count(path, d, dtype)
+    if limit is not None:
+        total = min(total, limit)
+    for off in range(0, total, batch):
+        yield read_xvec(path, d, min(batch, total - off), off, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Length-prefixed vectors (read_vector/write_vector, utils.h:59-81)
+# ---------------------------------------------------------------------------
+
+def write_len_vector(f, data: np.ndarray) -> None:
+    """[uint32 count | payload]; count is the element count, not bytes."""
+    data = np.ascontiguousarray(data)
+    f.write(np.asarray([data.size], dtype="<u4").tobytes())
+    f.write(data.tobytes())
+
+
+def read_len_vector(f, dtype) -> np.ndarray:
+    count = int(np.frombuffer(f.read(4), dtype="<u4")[0])
+    dt = np.dtype(dtype)
+    return np.frombuffer(f.read(count * dt.itemsize), dtype=dt)
+
+
+def write_variable(f, value, dtype) -> None:
+    """write_variable equivalent (utils.h:69-71) — single POD value."""
+    f.write(np.asarray([value], dtype=dtype).tobytes())
+
+
+def read_variable(f, dtype):
+    dt = np.dtype(dtype)
+    return np.frombuffer(f.read(dt.itemsize), dtype=dt)[0]
+
+
+# ---------------------------------------------------------------------------
+# Random-access single-record reads (readBaseVec/readCentroidVec,
+# utils.cpp:96-139) — used by the disk-rerank path.
+# ---------------------------------------------------------------------------
+
+class XvecFile:
+    """Random-access view over an xvec file for exact-rerank gathers
+    (searchDisk, IndexIVF_HNSW_Grouping.cpp:365-395)."""
+
+    def __init__(self, path: str, d: int, dtype=None):
+        self.path = path
+        self.d = d
+        self.dtype = XVEC_DTYPES[os.path.splitext(path)[1]] if dtype is None else dtype
+        self._rec = _xvec_dtype(d, self.dtype)
+        self.n = xvec_count(path, d, self.dtype)
+        self._mm = np.memmap(path, dtype=self._rec, mode="r")
+
+    def __len__(self) -> int:
+        return self.n
+
+    def gather(self, indices: np.ndarray) -> np.ndarray:
+        """Fetch rows by id -> [len(indices), d] float32."""
+        rows = self._mm["vec"][np.asarray(indices, dtype=np.int64)]
+        return rows.astype(np.float32)
+
+
+def random_subset(data: np.ndarray, n_sub: int, seed: int = 1234) -> np.ndarray:
+    """random_subset equivalent (utils.cpp:12-20): sample n_sub rows without
+    replacement with a fixed default seed of 1234."""
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(data.shape[0])[:n_sub]
+    return np.ascontiguousarray(data[idx])

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivfhnsw_tpu.ops.distances import (assign_top1, l2sqr_pairwise,
+                                       streaming_topk_l2)
+from ivfhnsw_tpu.ops.kmeans import kmeans, kmeans_batched
+from ivfhnsw_tpu.ops.topk import merge_topk, topk_smallest
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def exact_l2(x, y):
+    return ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+
+
+def test_l2sqr_pairwise_matches_numpy(rng):
+    x = rng.rand(13, 8).astype(np.float32)
+    y = rng.rand(29, 8).astype(np.float32)
+    got = np.asarray(l2sqr_pairwise(jnp.asarray(x), jnp.asarray(y),
+                                    precision=HI))
+    np.testing.assert_allclose(got, exact_l2(x, y), rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_topk_exact(rng):
+    x = rng.rand(7, 16).astype(np.float32)
+    y = rng.rand(1000, 16).astype(np.float32)
+    d, i = streaming_topk_l2(jnp.asarray(x), jnp.asarray(y), 5, block=128,
+                             precision=HI)
+    ref = exact_l2(x, y)
+    ref_i = np.argsort(ref, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d),
+                               np.take_along_axis(ref, ref_i, 1),
+                               rtol=1e-4, atol=1e-4)
+    # Ascending order is part of the contract (max_codes budget relies on it).
+    assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
+
+
+def test_streaming_topk_nondivisible_block(rng):
+    x = rng.rand(3, 8).astype(np.float32)
+    y = rng.rand(77, 8).astype(np.float32)
+    d, i = streaming_topk_l2(jnp.asarray(x), jnp.asarray(y), 4, block=32,
+                             precision=HI)
+    ref_i = np.argsort(exact_l2(x, y), axis=1)[:, :4]
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_assign_top1(rng):
+    x = rng.rand(50, 8).astype(np.float32)
+    c = rng.rand(20, 8).astype(np.float32)
+    _, idx = assign_top1(jnp.asarray(x), jnp.asarray(c), precision=HI)
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  exact_l2(x, c).argmin(1))
+
+
+def test_topk_merge(rng):
+    a = rng.rand(4, 6).astype(np.float32)
+    b = rng.rand(4, 6).astype(np.float32)
+    da, ia = topk_smallest(jnp.asarray(a), 3)
+    db, ib = topk_smallest(jnp.asarray(b), 3)
+    d, i = merge_topk(da, ia + 100, db, ib + 200, 3)
+    ref = np.sort(np.concatenate([a, b], axis=1), axis=1)[:, :3]
+    np.testing.assert_allclose(np.asarray(d), ref, rtol=1e-6)
+
+
+def test_kmeans_separated_clusters(rng):
+    # 4 well-separated blobs; k-means must find all 4 centers.
+    centers = np.array([[0, 0], [10, 0], [0, 10], [10, 10]], np.float32)
+    data = (centers[rng.randint(0, 4, 500)] +
+            rng.randn(500, 2).astype(np.float32) * 0.1)
+    cents, mse = kmeans(jax.random.PRNGKey(0), data, 4, niter=20,
+                        block_c=128, block_n=64, precision=HI)
+    cents = np.asarray(cents)
+    # Each true center has a learned centroid within 0.2.
+    d = exact_l2(centers, cents)
+    assert (d.min(axis=1) < 0.2 ** 2 * 2).all()
+    assert mse < 0.1
+
+
+def test_kmeans_batched_matches_flat(rng):
+    data = rng.rand(2, 300, 4).astype(np.float32)
+    cents = kmeans_batched(jax.random.PRNGKey(1), jnp.asarray(data), 8,
+                           niter=15)
+    assert cents.shape == (2, 8, 4)
+    # Quantization error should be well below data variance.
+    for b in range(2):
+        d = exact_l2(data[b], np.asarray(cents[b]))
+        assert d.min(axis=1).mean() < data[b].var(axis=0).sum() * 0.5
