@@ -1,19 +1,580 @@
 """IVFADC + Grouping (+Pruning) — TPU-native equivalent of
 `ivfhnsw::IndexIVF_HNSW_Grouping` (/root/reference/IndexIVF_HNSW_Grouping.*).
 
-Implementation lands in the grouping milestone; this module currently exposes
-the class shell so the package surface is stable.
+The grouping scheme splits each coarse centroid's posting list across
+``nsubc`` sub-centroids lying on segments toward the centroid's nsubc nearest
+neighbor centroids, ``s_j = c + alpha * (n_j - c)`` with one learned alpha per
+group (add_group, IndexIVF_HNSW_Grouping.cpp:43-157). Search uses the 4-term
+decomposition documented at :159-187:
+
+    d = (1-a)(||q-c||^2 - ||c||^2) + a(||q-n||^2 - ||n||^2)
+        + ||y||^2 - 2<q, y_R>
+
+and Pruning skips sub-lists whose estimated query-subcentroid distance
+
+    qsd = (1-a)||q-c||^2 + a||q-n||^2 - a(1-a)||c-n||^2      (:251-252)
+
+exceeds the mean over scanned slots (:261).
+
+TPU re-architecture:
+- nearest-neighbor centroids / inter-centroid distances: one batched
+  matmul top-(nsubc+1) over the centroid set (replaces per-group searchKnn).
+- alpha learning (compute_alpha, :691-728): a *two-pass streamed* reduction —
+  pass 1 accumulates the per-point argmin (numerator, denominator) pairs into
+  per-group sums with segment_sum; pass 2 encodes with the final group
+  alphas. Identical math to the reference's per-group loop, but batched over
+  arbitrary point batches instead of requiring each group's points to be
+  gathered contiguously.
+- search: masked batched compute — the pruning test is a boolean mask on
+  (probe, subc) slots; the scan window is built over nc*nsubc flattened
+  subgroup lists with the same max_codes probe-granular budget semantics
+  (:302-308, :350-353).
 """
 
 from __future__ import annotations
 
-from ivfhnsw_tpu.models.ivfadc import IVFADCIndex
-from ivfhnsw_tpu.utils.config import IndexConfig
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivfhnsw_tpu.ops import adc as adc_ops
+from ivfhnsw_tpu.ops import opq as opq_ops
+from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+from ivfhnsw_tpu.ops.topk import topk_smallest
+from ivfhnsw_tpu.models.ivfadc import IVFADCIndex, _round_up
+from ivfhnsw_tpu.models.storage import PostingListBuilder, store_from_lists
+from ivfhnsw_tpu.utils import io
+from ivfhnsw_tpu.utils.config import IndexConfig, SearchParams
+from ivfhnsw_tpu.utils.recall import rerank_order
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _alpha_stats(x, keys, centroids, nn_idxs, nn_dists, precision=HIGHEST):
+    """Pass-1 alpha statistics (compute_alpha, IndexIVF_HNSW_Grouping.cpp:
+    691-728): per point, over the nsubc candidate directions, pick the one
+    whose per-point-optimal subcentroid is closest to the point, and return
+    segment sums of its (clamped numerator, denominator) per group.
+
+    x [B, d]; keys [B] centroid ids; nn_idxs [nc, nsubc]; nn_dists [nc, nsubc]
+    (= ||n - c||^2). Returns (num_sums [nc], den_sums [nc]).
+    """
+    nc = centroids.shape[0]
+    c = centroids[keys]                                   # [B, d]
+    nn = centroids[nn_idxs[keys]]                         # [B, S, d]
+    cv = nn - c[:, None, :]                               # [B, S, d]
+    v = x - c                                             # [B, d]
+    num = jnp.einsum("bsd,bd->bs", cv, v, precision=precision,
+                     preferred_element_type=jnp.float32)
+    num = jnp.maximum(num, 0.0)
+    den = nn_dists[keys]                                  # [B, S]
+    alpha_j = num / jnp.maximum(den, 1e-30)
+    s = c[:, None, :] + alpha_j[:, :, None] * cv          # [B, S, d]
+    dist = jnp.sum((x[:, None, :] - s) ** 2, axis=-1)     # [B, S]
+    j_star = jnp.argmin(dist, axis=1)                     # [B]
+    num_star = jnp.take_along_axis(num, j_star[:, None], 1)[:, 0]
+    den_star = jnp.take_along_axis(den, j_star[:, None], 1)[:, 0]
+    num_sums = jax.ops.segment_sum(num_star, keys, num_segments=nc)
+    den_sums = jax.ops.segment_sum(den_star, keys, num_segments=nc)
+    return num_sums, den_sums
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _subcentroid_assign(x, keys, centroids, nn_idxs, alphas,
+                        precision=HIGHEST):
+    """Pass-2: with final group alphas, compute each point's subcentroid index
+    and the subcentroid itself (compute_subcentroid_idxs, :673-689).
+
+    Returns (subc_idx [B] int32, subcentroid [B, d] f32).
+    """
+    c = centroids[keys]
+    nn = centroids[nn_idxs[keys]]
+    cv = nn - c[:, None, :]
+    a = alphas[keys][:, None, None]
+    s = c[:, None, :] + a * cv                            # [B, S, d]
+    dist = jnp.sum((x[:, None, :] - s) ** 2, axis=-1)
+    j = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    s_star = jnp.take_along_axis(s, j[:, None, None], axis=1)[:, 0, :]
+    return j, s_star
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "L", "nsubc", "coarse_block", "use_opq",
+                     "do_pruning", "precision"))
+def _grouping_search_core(queries, centroids, centroid_norms, codebooks,
+                          norm_centroids, R, codes, ids, norm_codes,
+                          sub_offsets, nn_idxs, alphas, inter_dists,
+                          group_sizes, max_codes, *, nprobe: int, k: int,
+                          L: int, nsubc: int, coarse_block: int,
+                          use_opq: bool, do_pruning: bool,
+                          precision=HIGHEST):
+    """Jitted Grouping(+Pruning) search (IndexIVF_HNSW_Grouping.cpp:188-363).
+
+    sub_offsets: [nc*nsubc + 1] offsets into the flat arrays, subgroup lists
+    stored in (centroid, subc) order — the same layout add_group flattens to
+    (:133-156).
+    """
+    B = queries.shape[0]
+
+    # Coarse top-nprobe (ascending distance; rotation-invariant so computed
+    # in the original space even under OPQ).
+    qc_dists, probes = streaming_topk_l2(
+        queries, centroids, nprobe, block=coarse_block,
+        point_sqnorms=centroid_norms, precision=precision)
+
+    # Per-(probe, subc) neighbor-centroid distances ||q - n||^2, computed
+    # probe-by-probe to bound the gather working set. This replaces the
+    # reference's query_centroid_dists lazy cache (:244-250, :310-316).
+    p_nn = nn_idxs[probes]                                # [B, P, S]
+    q_sq = jnp.sum(queries ** 2, axis=1)                  # [B]
+
+    def nn_dist_one_probe(nn_p):
+        # nn_p: [B, S] centroid ids for this probe slot.
+        cn = centroids[nn_p]                              # [B, S, d]
+        ip = jnp.einsum("bsd,bd->bs", cn, queries, precision=precision,
+                        preferred_element_type=jnp.float32)
+        return q_sq[:, None] - 2.0 * ip + centroid_norms[nn_p]
+
+    qn_dists = jax.lax.map(nn_dist_one_probe,
+                           jnp.moveaxis(p_nn, 1, 0))      # [P, B, S]
+    qn_dists = jnp.moveaxis(qn_dists, 0, 1)               # [B, P, S]
+
+    a = alphas[probes]                                    # [B, P]
+    sub_sizes_all = sub_offsets[1:] - sub_offsets[:-1]    # [nc*nsubc]
+    slot_ids = probes[:, :, None] * nsubc + jnp.arange(nsubc)[None, None, :]
+    slot_sizes = sub_sizes_all[slot_ids].astype(jnp.int32)  # [B, P, S]
+    nonempty = slot_sizes > 0
+
+    # qsd estimate + pruning threshold (:222-262). The reference computes the
+    # threshold over probes until cumulative *group* sizes reach 2*max_codes.
+    i_dists = inter_dists[probes]                         # [B, P, S]
+    one_m_a = (1.0 - a)[:, :, None]
+    a_b = a[:, :, None]
+    qsd = (one_m_a * qc_dists[:, :, None]
+           + a_b * qn_dists - a_b * one_m_a * i_dists)    # [B, P, S]
+    if do_pruning:
+        g_sizes = group_sizes[probes].astype(jnp.int32)   # [B, P]
+        g_cum_before = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(g_sizes, axis=1)[:, :-1]],
+            axis=1)
+        thr_probe = jnp.logical_or(max_codes <= 0,
+                                   g_cum_before < 2 * max_codes)  # [B, P]
+        thr_mask = nonempty & thr_probe[:, :, None]
+        n_slots = jnp.maximum(jnp.sum(thr_mask, axis=(1, 2)), 1)
+        threshold = (jnp.sum(jnp.where(thr_mask, qsd, 0.0), axis=(1, 2))
+                     / n_slots)                            # [B]
+        scan_slot = nonempty & (qsd < threshold[:, None, None])
+    else:
+        scan_slot = nonempty
+
+    # Probe-granular max_codes budget over *effective* (unpruned) sizes
+    # (:350-353: ncode counts scanned subgroups; break happens after a probe).
+    eff_sizes = jnp.where(scan_slot, slot_sizes, 0)       # [B, P, S]
+    probe_eff = jnp.sum(eff_sizes, axis=2)                # [B, P]
+    cum_before = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(probe_eff, axis=1)[:, :-1]],
+        axis=1)
+    probe_inc = jnp.logical_or(max_codes <= 0, cum_before < max_codes)
+    final_sizes = (eff_sizes * probe_inc[:, :, None]).reshape(B, -1)  # [B, P*S]
+
+    # Flatten slots -> static scan window.
+    slot_flat = slot_ids.reshape(B, -1)                   # [B, P*S]
+    bounds = jnp.cumsum(final_sizes, axis=1)              # [B, P*S]
+    starts = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), bounds[:, :-1]], axis=1)
+    j = jnp.arange(L, dtype=jnp.int32)
+
+    def window_one(bounds_q, starts_q, slots_q):
+        seg = jnp.searchsorted(bounds_q, j, side="right").astype(jnp.int32)
+        seg_c = jnp.minimum(seg, slots_q.shape[0] - 1)
+        within = j - starts_q[seg_c]
+        pos = sub_offsets[slots_q[seg_c]].astype(jnp.int32) + within
+        valid = j < bounds_q[-1]
+        return jnp.where(valid, pos, 0), seg_c, valid
+
+    pos, seg, valid = jax.vmap(window_one)(bounds, starts, slot_flat)
+
+    # Slot-level term1+term2: (1-a)(qc - ||c||^2) + a(qn - ||n||^2)  (:290,:318)
+    term1 = one_m_a * (qc_dists - centroid_norms[probes])[:, :, None]
+    term2 = a_b * (qn_dists - centroid_norms[p_nn])
+    slot_bias = (term1 + term2).reshape(B, -1)            # [B, P*S]
+
+    q_rot = queries @ R.T if use_opq else queries
+    from ivfhnsw_tpu.ops.pq import _pq_ip_luts
+    luts = _pq_ip_luts(q_rot, codebooks, precision=precision)
+
+    g_codes = jnp.take(codes, pos, axis=0)
+    g_ids = jnp.take(ids, pos, axis=0)
+    g_norm = jnp.take(norm_centroids,
+                      jnp.take(norm_codes, pos, axis=0).astype(jnp.int32),
+                      axis=0)
+    bias = jnp.take_along_axis(slot_bias, seg, axis=1) + g_norm
+
+    dists, sel = adc_ops.adc_scan(luts, g_codes, bias, valid, k)
+    labels = jnp.take_along_axis(g_ids, sel, axis=1)
+    labels = jnp.where(jnp.isfinite(dists), labels, -1)
+    return dists, labels
 
 
 class IVFADCGroupingIndex(IVFADCIndex):
+    """Grouping variant: per-group subcentroids + alpha + pruning."""
+
     def __init__(self, config: IndexConfig):
         if config.nsubc <= 0:
             raise ValueError("grouping index requires nsubc > 0")
         super().__init__(config)
         self.nsubc = config.nsubc
+        # Per-group state (IndexIVF_HNSW_Grouping.h:19-22,61):
+        self.nn_centroid_idxs: Optional[jnp.ndarray] = None   # [nc, nsubc] i32
+        self.inter_centroid_dists: Optional[jnp.ndarray] = None  # [nc, nsubc]
+        self.alphas: Optional[jnp.ndarray] = None             # [nc] f32
+        self._alpha_num = np.zeros(config.nc, np.float64)
+        self._alpha_den = np.zeros(config.nc, np.float64)
+        self.do_pruning = False
+        # Builder over flattened (centroid, subc) lists.
+        self.builder = PostingListBuilder(config.nc * config.nsubc,
+                                          config.pq_m)
+
+    # ------------------------------------------------------------------
+    # Neighbor-centroid structure
+    # ------------------------------------------------------------------
+
+    def compute_neighbor_centroids(self) -> None:
+        """Top-nsubc nearest centroids per centroid (the per-group
+        searchKnn(centroid, nsubc+1) at IndexIVF_HNSW_Grouping.cpp:48), as
+        one batched sweep. Also fills inter_centroid_dists (:620-631) since
+        they are exactly the neighbor distances."""
+        nn_d = np.empty((self.nc, self.nsubc), np.float32)
+        nn_i = np.empty((self.nc, self.nsubc), np.int32)
+        batch = max(1, 262144 // max(1, self.nsubc))
+        cents = np.asarray(self.centroids)
+        for off in range(0, self.nc, batch):
+            blk = jnp.asarray(cents[off:off + batch])
+            d_, i_ = streaming_topk_l2(blk, self.centroids, self.nsubc + 1,
+                                       block=self.coarse_block,
+                                       point_sqnorms=self.centroid_norms,
+                                       precision=HIGHEST)
+            d_, i_ = np.asarray(d_), np.asarray(i_)
+            # Drop self-matches robustly: remove the column equal to the row
+            # id (falls back to dropping the nearest if absent).
+            rows = np.arange(off, off + blk.shape[0])[:, None]
+            for r in range(blk.shape[0]):
+                mask = i_[r] != rows[r, 0]
+                keep = np.nonzero(mask)[0][:self.nsubc]
+                nn_d[off + r] = d_[r, keep]
+                nn_i[off + r] = i_[r, keep]
+        self.nn_centroid_idxs = jnp.asarray(nn_i)
+        self.inter_centroid_dists = jnp.asarray(nn_d)
+
+    def compute_inter_centroid_dists(self) -> None:
+        """Reference parity method (:620-631); in this architecture the
+        distances come out of the same sweep as the neighbor ids."""
+        if self.nn_centroid_idxs is None:
+            self.compute_neighbor_centroids()
+        cents = np.asarray(self.centroids)
+        nn = np.asarray(self.nn_centroid_idxs)
+        out = np.empty((self.nc, self.nsubc), np.float32)
+        batch = 65536
+        for off in range(0, self.nc, batch):
+            c = cents[off:off + batch]
+            n = cents[nn[off:off + batch]]
+            out[off:off + batch] = ((n - c[:, None, :]) ** 2).sum(-1)
+        self.inter_centroid_dists = jnp.asarray(out)
+
+    def dump_inter_centroid_dists(self, path: str) -> None:
+        """:633-653 — text dump of centroid-to-neighbor distances."""
+        icd = np.asarray(self.inter_centroid_dists)
+        with open(path, "w") as f:
+            for i in range(self.nc):
+                for subc in range(self.nsubc):
+                    f.write(f"distance of centriod {i} to centriod {subc} "
+                            f"is {icd[i, subc]:f}\n")
+
+    # ------------------------------------------------------------------
+    # Alpha learning + adding (two-pass streaming)
+    # ------------------------------------------------------------------
+
+    def _require_neighbors(self):
+        if self.nn_centroid_idxs is None:
+            self.compute_neighbor_centroids()
+
+    def alpha_pass(self, x, precomputed_idx=None, batch: int = 16384) -> None:
+        """Pass 1: accumulate per-group alpha numerators/denominators over a
+        batch of base vectors (streamable; call for every batch before any
+        add_batch)."""
+        self._require_neighbors()
+        x = np.asarray(x, np.float32)
+        keys = (np.asarray(precomputed_idx, np.int32)
+                if precomputed_idx is not None else self.assign(x))
+        for off in range(0, x.shape[0], batch):
+            num, den = _alpha_stats(
+                jnp.asarray(x[off:off + batch]),
+                jnp.asarray(keys[off:off + batch]),
+                self.centroids, self.nn_centroid_idxs,
+                self.inter_centroid_dists)
+            self._alpha_num += np.asarray(num, np.float64)
+            self._alpha_den += np.asarray(den, np.float64)
+
+    def finalize_alphas(self) -> None:
+        """alpha = group_numerator / group_denominator (:727)."""
+        den = self._alpha_den
+        self.alphas = jnp.asarray(
+            np.where(den > 0, self._alpha_num / np.maximum(den, 1e-30), 0.0)
+            .astype(np.float32))
+
+    def add_batch(self, x, xids=None, precomputed_idx=None,
+                  batch: int = 16384) -> None:
+        """Pass 2 of add_group (:90-156): subcentroid assignment with final
+        alphas, residual vs subcentroid, PQ, norm codes; bucketed by
+        (centroid, subc)."""
+        if self.alphas is None:
+            raise RuntimeError("call alpha_pass(...) on all data then "
+                               "finalize_alphas() before add_batch")
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        keys = (np.asarray(precomputed_idx, np.int32)
+                if precomputed_idx is not None else self.assign(x))
+        if xids is None:
+            xids = np.arange(self.builder.ntotal,
+                             self.builder.ntotal + n, dtype=np.int32)
+        xids = np.asarray(xids, np.int32)
+        for off in range(0, n, batch):
+            xb = jnp.asarray(x[off:off + batch])
+            kb = jnp.asarray(keys[off:off + batch])
+            subc, s_star = _subcentroid_assign(
+                xb, kb, self.centroids, self.nn_centroid_idxs, self.alphas)
+            residuals = xb - s_star
+            if self.do_opq:
+                residuals = opq_ops.apply_rotation(residuals, self.opq_R)
+            codes = self.pq.encode(residuals)
+            decoded = self.pq.decode(codes)
+            if self.do_opq:
+                decoded = opq_ops.apply_rotation_transpose(decoded, self.opq_R)
+            recon = decoded + s_star
+            norms = jnp.sum(recon ** 2, axis=1)
+            norm_codes = self.norm_pq.encode(norms)
+            flat_keys = (np.asarray(kb) * self.nsubc
+                         + np.asarray(subc)).astype(np.int32)
+            self.builder.add(flat_keys, xids[off:off + batch],
+                             np.asarray(codes), np.asarray(norm_codes))
+        self.store = None
+
+    def add(self, x, xids=None, precomputed_idx=None) -> None:
+        """Convenience: both passes for an in-memory dataset."""
+        keys = (np.asarray(precomputed_idx, np.int32)
+                if precomputed_idx is not None else self.assign(x))
+        self.alpha_pass(x, keys)
+        self.finalize_alphas()
+        self.add_batch(x, xids, keys)
+
+    # ------------------------------------------------------------------
+    # PQ training (train_pq, IndexIVF_HNSW_Grouping.cpp:486-618)
+    # ------------------------------------------------------------------
+
+    def train_pq(self, key, train_data, precomputed_idx=None,
+                 pq_niter: int = 25, opq_niter: int = 20,
+                 verbose: bool = False) -> None:
+        """Group the train set by centroid, learn train-set alphas, then PQ on
+        subcentroid residuals and norm-PQ on reconstructions. The reference
+        uses OPQ niter=100 here (:557-563); our alternation converges in far
+        fewer outer iterations because each step retrains all M subspaces."""
+        self._require_neighbors()
+        x = np.asarray(train_data, np.float32)
+        keys = (np.asarray(precomputed_idx, np.int32)
+                if precomputed_idx is not None else self.assign(x))
+        # Train-set alphas (same two-pass math, local accumulators).
+        num, den = _alpha_stats(jnp.asarray(x), jnp.asarray(keys),
+                                self.centroids, self.nn_centroid_idxs,
+                                self.inter_centroid_dists)
+        num, den = np.asarray(num, np.float64), np.asarray(den, np.float64)
+        train_alphas = jnp.asarray(
+            np.where(den > 0, num / np.maximum(den, 1e-30), 0.0)
+            .astype(np.float32))
+        subc, s_star = _subcentroid_assign(
+            jnp.asarray(x), jnp.asarray(keys), self.centroids,
+            self.nn_centroid_idxs, train_alphas)
+        residuals = jnp.asarray(x) - s_star
+        k_opq, k_pq, k_norm = jax.random.split(key, 3)
+        if self.do_opq:
+            self.opq_R, self.pq = opq_ops.train_opq(
+                k_opq, residuals, self.config.pq_m, niter=opq_niter,
+                final_pq_niter=pq_niter, ksub=self.config.ksub,
+                verbose=verbose)
+            rotated = opq_ops.apply_rotation(residuals, self.opq_R)
+        else:
+            self.pq.train(k_pq, residuals, niter=pq_niter)
+            rotated = residuals
+        decoded = self.pq.decode(self.pq.encode(rotated))
+        if self.do_opq:
+            decoded = opq_ops.apply_rotation_transpose(decoded, self.opq_R)
+        recon = decoded + s_star
+        self.norm_pq.train(k_norm, jnp.sum(recon ** 2, axis=1))
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    def _group_sizes(self) -> jnp.ndarray:
+        store = self._ensure_store()
+        sizes = np.asarray(store.list_offsets)
+        sub_sizes = (sizes[1:] - sizes[:-1]).reshape(self.nc, self.nsubc)
+        return jnp.asarray(sub_sizes.sum(axis=1).astype(np.int32))
+
+    def _scan_budget(self, params: SearchParams) -> int:
+        if params.scan_budget is not None:
+            return params.scan_budget
+        store = self._ensure_store()
+        off = np.asarray(store.list_offsets)
+        group_sizes = (off[1:] - off[:-1]).reshape(self.nc, self.nsubc).sum(1)
+        mx = int(group_sizes.max()) if group_sizes.size else 0
+        if params.max_codes and params.max_codes > 0:
+            budget = params.max_codes + mx
+        else:
+            budget = int(np.sort(group_sizes)[-min(params.nprobe,
+                                                   self.nc):].sum())
+        return _round_up(max(budget, 128), 128)
+
+    def search(self, queries, params: SearchParams | None = None,
+               batch: int = 4096, trace: bool = False):
+        params = params or SearchParams(k=10, nprobe=self.nprobe,
+                                        max_codes=self.max_codes,
+                                        do_pruning=self.do_pruning)
+        store = self._ensure_store()
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        L = self._scan_budget(params)
+        nprobe = min(params.nprobe, self.nc)
+        out_d = np.empty((nq, params.k), np.float32)
+        out_l = np.empty((nq, params.k), np.int64)
+        for off in range(0, nq, batch):
+            blk = queries[off:off + batch]
+            n = blk.shape[0]
+            if n < batch and nq > batch:
+                blk = np.pad(blk, ((0, batch - n), (0, 0)))
+            d, l = _grouping_search_core(
+                jnp.asarray(blk), self.centroids, self.centroid_norms,
+                self.pq.codebooks, self.norm_pq.centroids,
+                self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
+                store.codes, store.ids, store.norm_codes, store.list_offsets,
+                self.nn_centroid_idxs, self.alphas, self.inter_centroid_dists,
+                self._group_sizes(), jnp.int32(params.max_codes),
+                nprobe=nprobe, k=params.k, L=L, nsubc=self.nsubc,
+                coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+                use_opq=self.do_opq, do_pruning=params.do_pruning)
+            out_d[off:off + n] = np.asarray(d)[:n]
+            out_l[off:off + n] = np.asarray(l)[:n]
+        self.stats["queries"] += nq
+        return out_d, out_l
+
+    def search_disk(self, queries, params: SearchParams, base_file: io.XvecFile):
+        """searchDisk (:365-395): ANN search for 2k candidates, exact L2
+        rerank against the raw base file, distance-then-label tiebreak."""
+        p2 = SearchParams(k=2 * params.k, nprobe=params.nprobe,
+                          max_codes=params.max_codes,
+                          do_pruning=params.do_pruning,
+                          scan_budget=params.scan_budget)
+        _, cand = self.search(queries, p2)
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        out_d = np.empty((nq, params.k), np.float32)
+        out_l = np.empty((nq, params.k), np.int64)
+        for i in range(nq):
+            labels = cand[i]
+            ok = labels >= 0
+            vecs = base_file.gather(labels[ok])
+            exact = ((vecs - queries[i][None]) ** 2).sum(1)
+            dd, ll = rerank_order(exact, labels[ok])
+            out_d[i] = dd[:params.k]
+            out_l[i] = ll[:params.k]
+        return out_d, out_l
+
+    # ------------------------------------------------------------------
+    # Serialization — reference Grouping format
+    # (IndexIVF_HNSW_Grouping.cpp:397-483): u64 d, nc, nsubc; per-centroid
+    # lenvec ids/codes/norm_codes (subgroup-concatenated); per-centroid
+    # lenvec nn_centroid_idxs (u32) and subgroup_sizes (u32); lenvec alphas;
+    # lenvec centroid_norms; per-centroid lenvec inter_centroid_dists.
+    # ------------------------------------------------------------------
+
+    def write(self, path: str, do_trunc: bool = True) -> None:
+        store = self._ensure_store()
+        off = np.asarray(store.list_offsets)
+        ids = np.asarray(store.ids, "<u4")
+        codes = np.asarray(store.codes)
+        ncodes = np.asarray(store.norm_codes)
+        sub_sizes = (off[1:] - off[:-1]).reshape(self.nc, self.nsubc)
+        group_lo = off[:-1].reshape(self.nc, self.nsubc)[:, 0]
+        group_hi = np.concatenate([group_lo[1:], [off[-1]]])
+        with open(path, "wb" if do_trunc else "ab") as f:
+            io.write_variable(f, self.d, "<u8")
+            io.write_variable(f, self.nc, "<u8")
+            io.write_variable(f, self.nsubc, "<u8")
+            for c in range(self.nc):
+                io.write_len_vector(f, ids[group_lo[c]:group_hi[c]])
+            for c in range(self.nc):
+                io.write_len_vector(f, codes[group_lo[c]:group_hi[c]])
+            for c in range(self.nc):
+                io.write_len_vector(f, ncodes[group_lo[c]:group_hi[c]])
+            nn = np.asarray(self.nn_centroid_idxs, "<u4")
+            for c in range(self.nc):
+                io.write_len_vector(f, nn[c])
+            for c in range(self.nc):
+                io.write_len_vector(f, sub_sizes[c].astype("<u4"))
+            io.write_len_vector(f, np.asarray(self.alphas, "<f4"))
+            io.write_len_vector(f, np.asarray(self.centroid_norms, "<f4"))
+            icd = np.asarray(self.inter_centroid_dists, "<f4")
+            for c in range(self.nc):
+                io.write_len_vector(f, icd[c])
+
+    def read(self, path: str) -> None:
+        buf = np.fromfile(path, dtype=np.uint8)
+        pos = 0
+
+        def take(dtype, count):
+            nonlocal pos
+            dt = np.dtype(dtype)
+            out = buf[pos:pos + dt.itemsize * count].view(dt)
+            pos += dt.itemsize * count
+            return out
+
+        def take_lenvec(dtype):
+            n = int(take("<u4", 1)[0])
+            return take(dtype, n)
+
+        d = int(take("<u8", 1)[0])
+        nc = int(take("<u8", 1)[0])
+        nsubc = int(take("<u8", 1)[0])
+        if (d, nc, nsubc) != (self.d, self.nc, self.nsubc):
+            raise ValueError("grouping index file params mismatch")
+        ids = [take_lenvec("<u4").astype(np.int32) for _ in range(nc)]
+        codes = [take_lenvec("u1").reshape(-1, self.config.pq_m)
+                 for _ in range(nc)]
+        ncodes = [take_lenvec("u1") for _ in range(nc)]
+        nn = np.stack([take_lenvec("<u4").astype(np.int32)
+                       for _ in range(nc)])
+        sub_sizes = np.stack([take_lenvec("<u4").astype(np.int64)
+                              for _ in range(nc)])
+        self.alphas = jnp.asarray(take_lenvec("<f4").copy())
+        cnorms = take_lenvec("<f4")
+        if cnorms.size == nc:
+            self.centroid_norms = jnp.asarray(cnorms.copy())
+        icd = np.stack([take_lenvec("<f4") for _ in range(nc)])
+        self.nn_centroid_idxs = jnp.asarray(nn)
+        self.inter_centroid_dists = jnp.asarray(icd)
+        # Split each centroid's concatenated arrays back into subgroups.
+        per_list = []
+        for c in range(nc):
+            lo = 0
+            for s in range(nsubc):
+                sz = int(sub_sizes[c, s])
+                per_list.append((ids[c][lo:lo + sz], codes[c][lo:lo + sz],
+                                 ncodes[c][lo:lo + sz]))
+                lo += sz
+        self.store = store_from_lists(nc * nsubc, self.config.pq_m, per_list)
+        self.builder = PostingListBuilder(nc * nsubc, self.config.pq_m)
