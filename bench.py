@@ -1,0 +1,165 @@
+"""Benchmark: IVFADC search QPS on one TPU chip.
+
+Workload (stable across rounds so BENCH_r{N}.json is comparable):
+  - synthetic SIFT-like corpus: 2M x 128-d, 4096-cluster mixture, seed 0
+  - index: nc=4096 coarse centroids, PQ16 + 1-byte norm codes (reference
+    canonical code budget, examples/run_sift1b.sh)
+  - queries: 8192; operating point nprobe=32, max_codes=10000, k=10
+    (the reference's first paper configuration, run_sift1b.sh:38-44)
+
+Baseline (vs_baseline denominator): the reference's single-CPU-thread search
+at this operating point costs ~50 us/query (~30 us for the 10k-code ADC scan
+at ~3 ns/code incl. norm decode + ~20 us HNSW at efSearch=80), i.e. ~20k QPS.
+BASELINE.md's north star is >=10x that per chip.
+
+Artifacts cache under .bench_cache/ (exists()-gated stages, mirroring the
+reference drivers' resume behavior, test_ivfhnsw_sift1b.cpp:54-162).
+
+Prints ONE JSON line to stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+NB, NQ, D, NC = 2_000_000, 8192, 128, 4096
+CODE_SIZE = 16
+NPROBE, MAX_CODES, K = 32, 10_000, 10
+CPU_BASELINE_QPS = 20_000.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_data():
+    rng = np.random.RandomState(0)
+    log("generating corpus ...")
+    centers = rng.randn(NC, D).astype(np.float32) * 4.0
+    scales = (0.5 + rng.rand(NC, 1).astype(np.float32))
+    assign = rng.randint(0, NC, NB)
+    base = centers[assign] + rng.randn(NB, D).astype(np.float32) * scales[assign]
+    qassign = rng.randint(0, NC, NQ)
+    queries = (centers[qassign]
+               + rng.randn(NQ, D).astype(np.float32) * scales[qassign])
+    learn = base[rng.permutation(NB)[:300_000]]
+    return base, queries, learn
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    from ivfhnsw_tpu.ops.pq import ProductQuantizer, NormQuantizer
+    from ivfhnsw_tpu.utils.recall import recall_at_k
+
+    os.makedirs(CACHE, exist_ok=True)
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    base = queries = None
+    cfg = IndexConfig(d=D, nc=NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    key = jax.random.PRNGKey(0)
+
+    p_cent = os.path.join(CACHE, "centroids.npy")
+    p_pq = os.path.join(CACHE, "bench.pq")
+    p_npq = os.path.join(CACHE, "bench.norm_pq")
+    p_idx = os.path.join(CACHE, "bench.index")
+    p_gt = os.path.join(CACHE, "gt.npy")
+    p_q = os.path.join(CACHE, "queries.npy")
+
+    need_build = not all(os.path.exists(p) for p in
+                         (p_cent, p_pq, p_npq, p_idx, p_gt, p_q))
+    if need_build:
+        base, queries, learn = make_data()
+        np.save(p_q, queries)
+        t0 = time.time()
+        if os.path.exists(p_cent):
+            idx.set_centroids(np.load(p_cent))
+        else:
+            log("training centroids ...")
+            idx.train_centroids(key, learn, niter=10)
+            np.save(p_cent, np.asarray(idx.centroids))
+        log(f"centroids ready ({time.time()-t0:.1f}s)")
+
+        if os.path.exists(p_pq):
+            idx.load_quantizers(p_pq, p_npq)
+        else:
+            log("training PQ ...")
+            idx.train_pq(key, learn[:65_536])
+            idx.save_quantizers(p_pq, p_npq)
+        log(f"quantizers ready ({time.time()-t0:.1f}s)")
+
+        if os.path.exists(p_idx):
+            idx.read(p_idx)
+        else:
+            log("adding base vectors ...")
+            bs = 262_144
+            for off in range(0, NB, bs):
+                idx.add_batch(base[off:off + bs],
+                              np.arange(off, min(off + bs, NB),
+                                        dtype=np.int32))
+                log(f"  added {min(off+bs, NB)}/{NB} ({time.time()-t0:.1f}s)")
+            idx.finalize()
+            idx.write(p_idx)
+        log(f"index ready ({time.time()-t0:.1f}s)")
+
+        if not os.path.exists(p_gt):
+            log("computing exact groundtruth ...")
+            gt = np.empty((NQ, 1), np.int64)
+            qb = 1024
+            hp = jax.lax.Precision.HIGHEST
+            basej = jnp.asarray(base)
+            for off in range(0, NQ, qb):
+                _, i_ = streaming_topk_l2(jnp.asarray(queries[off:off + qb]),
+                                          basej, 1, block=131_072,
+                                          precision=hp)
+                gt[off:off + qb] = np.asarray(i_)
+            del basej
+            np.save(p_gt, gt)
+            log(f"groundtruth ready ({time.time()-t0:.1f}s)")
+    else:
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+
+    queries = np.load(p_q)
+    gt = np.load(p_gt)
+
+    params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES)
+    log("warmup ...")
+    idx.search(queries[:2048], params, batch=2048)
+    log("timed runs ...")
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        d_, l_ = idx.search(queries, params, batch=2048)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"  run {r}: {dt*1e6/NQ:.1f} us/query")
+    qps = NQ / best
+    rec = recall_at_k(l_, gt, ks=(1, 10))
+
+    print(json.dumps({
+        "metric": "ivfadc_search_qps_2M_nprobe32_mc10k",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / CPU_BASELINE_QPS, 3),
+        "us_per_query": round(1e6 / qps, 2),
+        "recall_at_1": round(rec[1], 4),
+        "recall_at_10": round(rec[10], 4),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,10 @@ class IVFADCIndex:
         self.max_codes = 10000
         # Coarse streaming block (centroid rows per MXU sweep step).
         self.coarse_block = 16384
+        # Scan engine: "auto" picks the Pallas fused kernel on TPU and the
+        # portable XLA path elsewhere; "pallas_interpret" runs the kernel in
+        # interpreter mode (CPU correctness testing).
+        self.engine = "auto"
         # Stats counter, analog of hnswlib dist_calc (hnswalg.h:58).
         self.stats = {"queries": 0, "codes_scanned": 0}
 
@@ -169,10 +173,14 @@ class IVFADCIndex:
     # Assignment / training
     # ------------------------------------------------------------------
 
-    def assign(self, x, batch: int = 262144) -> np.ndarray:
+    def assign(self, x, batch: int | None = None) -> np.ndarray:
         """Nearest-centroid ids for x [n, d] (IndexIVF_HNSW.cpp:68-72), in
-        streamed batches. Returns int32 [n]."""
+        streamed batches. Returns int32 [n]. The batch size is capped so the
+        per-step [batch, coarse_block] score matrix stays under ~1 GB."""
         x = np.asarray(x, np.float32)
+        if batch is None:
+            block = min(self.coarse_block, self.nc)
+            batch = max(1024, min(262144, (1 << 28) // max(block, 1)))
         out = np.empty(x.shape[0], np.int32)
         for off in range(0, x.shape[0], batch):
             blk = jnp.asarray(x[off:off + batch])
@@ -296,6 +304,35 @@ class IVFADCIndex:
             budget = mx * params.nprobe
         return _round_up(max(budget, 128), 128)
 
+    def _resolve_engine(self, trace: bool) -> str:
+        eng = self.engine
+        if eng == "auto":
+            eng = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if trace:
+            eng = "xla"  # trace outputs only exist on the portable path
+        return eng
+
+    def _search_pallas(self, blk, params: SearchParams, nprobe: int,
+                       interpret: bool):
+        """Fused-kernel search path (ops.pallas.adc_scan), one XLA launch."""
+        from ivfhnsw_tpu.ops.pallas import adc_scan as pk
+        store = self._ensure_store()
+        tiled = store.tiled()
+        mx = store.max_list_size()
+        if params.max_codes and params.max_codes > 0:
+            nch = (params.max_codes + mx) // pk.CHUNK + nprobe + 1
+        else:
+            nch = nprobe * max(1, (mx + pk.CHUNK - 1) // pk.CHUNK)
+        return pk.pallas_search_core(
+            jnp.asarray(blk), self.centroids, self.centroid_norms,
+            self.pq.codebooks, self.norm_pq.centroids,
+            self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
+            tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
+            tiled.list_sizes, jnp.int32(params.max_codes),
+            nprobe=nprobe, k=params.k, nch=max(nch, 1),
+            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+            use_opq=self.do_opq, interpret=interpret)
+
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
         """Batched query search. Returns (dists [nq, k], labels [nq, k]);
@@ -306,34 +343,50 @@ class IVFADCIndex:
         store = self._ensure_store()
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
-        L = self._scan_budget(params)
         nprobe = min(params.nprobe, self.nc)
+        engine = self._resolve_engine(trace)
+        if engine == "xla":
+            L = self._scan_budget(params)
+        else:
+            # Scalar-prefetch chunk metadata lives in 1MB SMEM:
+            # batch x nch x 4B (packed tile+len) must fit with headroom.
+            batch = min(batch, 1024)
 
-        out_d = np.empty((nq, params.k), np.float32)
-        out_l = np.empty((nq, params.k), np.int64)
+        results = []
         traces = [] if trace else None
         for off in range(0, nq, batch):
             blk = queries[off:off + batch]
             n = blk.shape[0]
             if n < batch and nq > batch:
                 blk = np.pad(blk, ((0, batch - n), (0, 0)))
-            res = _search_core(
-                jnp.asarray(blk), self.centroids, self.centroid_norms,
-                self.pq.codebooks, self.norm_pq.centroids,
-                self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
-                store.codes, store.ids, store.norm_codes, store.list_offsets,
-                jnp.int32(params.max_codes),
-                nprobe=nprobe, k=params.k, L=L,
-                coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
-                use_opq=self.do_opq, trace=trace)
-            if trace:
-                d, l, tr = res
-                traces.append(tuple(np.asarray(t)[:n] for t in tr))
-                self.stats["codes_scanned"] += int(np.sum(traces[-1][3]))
+            if engine in ("pallas", "pallas_interpret"):
+                d, l = self._search_pallas(
+                    blk, params, nprobe,
+                    interpret=(engine == "pallas_interpret"))
             else:
-                d, l = res
-            out_d[off:off + n] = np.asarray(d)[:n]
-            out_l[off:off + n] = np.asarray(l)[:n]
+                res = _search_core(
+                    jnp.asarray(blk), self.centroids, self.centroid_norms,
+                    self.pq.codebooks, self.norm_pq.centroids,
+                    self.opq_R if self.do_opq else
+                    jnp.zeros((0, 0), jnp.float32),
+                    store.codes, store.ids, store.norm_codes,
+                    store.list_offsets, jnp.int32(params.max_codes),
+                    nprobe=nprobe, k=params.k, L=L,
+                    coarse_block=min(self.coarse_block,
+                                     _round_up(self.nc, 128)),
+                    use_opq=self.do_opq, trace=trace)
+                if trace:
+                    d, l, tr = res
+                    traces.append(tuple(np.asarray(t)[:n] for t in tr))
+                    self.stats["codes_scanned"] += int(np.sum(traces[-1][3]))
+                else:
+                    d, l = res
+            results.append((n, d, l))
+        # Convert after the whole batch stream is submitted — per-batch
+        # device->host syncs serialize against the dispatch tunnel.
+        out_d = np.concatenate([np.asarray(d)[:n] for n, d, _ in results])
+        out_l = np.concatenate([np.asarray(l)[:n].astype(np.int64)
+                                for n, _, l in results])
         self.stats["queries"] += nq
         if trace:
             probes, qc, inc, nsc = (np.concatenate([t[i] for t in traces])

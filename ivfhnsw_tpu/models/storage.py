@@ -23,6 +23,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+CHUNK = 256      # codes per tile; must match ops.pallas.adc_scan.CHUNK
+TILE_ROWS = 24   # 16 transposed code rows + 1 norm row + 7 pad (8-aligned DMA)
+NORM_ROW = 16
+
+
+@dataclass
+class TiledStore:
+    """Search-optimized mirror of the posting lists for the Pallas kernel:
+    every list starts 256-aligned, one tile = [24, 256] u8 (rows 0..15 =
+    transposed PQ codes, row 16 = norm codes, 17..23 zero) = one contiguous DMA."""
+
+    tiles: jnp.ndarray         # [NT, 24, 256] uint8
+    ids_aligned: jnp.ndarray   # [NT*256] int32 (-1 on padding slots)
+    tile_offsets: jnp.ndarray  # [nc+1] int32 — first tile of each list
+    list_sizes: jnp.ndarray    # [nc] int32
+
+
 @dataclass
 class PostingListStore:
     """Finalized, device-resident posting lists."""
@@ -32,6 +49,7 @@ class PostingListStore:
     norm_codes: jnp.ndarray   # [N] uint8
     list_offsets: jnp.ndarray  # [nc+1] int32
     nc: int
+    _tiled: "TiledStore | None" = None
 
     @property
     def ntotal(self) -> int:
@@ -48,6 +66,52 @@ class PostingListStore:
     def max_list_size(self) -> int:
         s = self.list_sizes()
         return int(s.max()) if s.size else 0
+
+    def tiled(self, max_m: int = 16) -> TiledStore:
+        """Build (and cache) the aligned tile layout. Alignment overhead is
+        < CHUNK codes per non-empty list."""
+        if self._tiled is not None:
+            return self._tiled
+        off = np.asarray(self.list_offsets).astype(np.int64)
+        sizes = off[1:] - off[:-1]
+        tcnt = (sizes + CHUNK - 1) // CHUNK
+        tile_off = np.zeros(self.nc + 1, np.int64)
+        np.cumsum(tcnt, out=tile_off[1:])
+        nt = max(int(tile_off[-1]), 1)
+        n_al = nt * CHUNK
+
+        codes = np.asarray(self.codes)
+        ncodes = np.asarray(self.norm_codes)
+        ids = np.asarray(self.ids)
+        m = codes.shape[1]
+        if m > max_m:
+            raise ValueError(f"code_size {m} > tile budget {max_m}")
+
+        # Scatter each list into its aligned span.
+        pos_al = np.arange(self.ntotal, dtype=np.int64)
+        list_of = np.repeat(np.arange(self.nc), sizes)
+        within = pos_al - off[list_of]
+        dest = tile_off[list_of] * CHUNK + within
+
+        codes_al = np.zeros((n_al, max_m), np.uint8)
+        norm_al = np.zeros(n_al, np.uint8)
+        ids_al = np.full(n_al, -1, np.int32)
+        codes_al[dest, :m] = codes
+        norm_al[dest] = ncodes
+        ids_al[dest] = ids
+
+        tiles = np.empty((nt, TILE_ROWS, CHUNK), np.uint8)
+        tiles[:, :max_m, :] = codes_al.reshape(nt, CHUNK, max_m).transpose(0, 2, 1)
+        tiles[:, max_m:, :] = 0
+        tiles[:, NORM_ROW, :] = norm_al.reshape(nt, CHUNK)
+
+        self._tiled = TiledStore(
+            tiles=jnp.asarray(tiles),
+            ids_aligned=jnp.asarray(ids_al),
+            tile_offsets=jnp.asarray(tile_off.astype(np.int32)),
+            list_sizes=jnp.asarray(sizes.astype(np.int32)),
+        )
+        return self._tiled
 
     def to_lists(self):
         """Split back into per-centroid (ids, codes, norm_codes) numpy lists —

@@ -1,0 +1,261 @@
+"""Pallas TPU kernel for the fused ADC posting-list scan.
+
+THE kernel of the framework (SURVEY.md §7 "hard parts" #2): replaces the
+reference's pq_L2sqr LUT loop (IndexIVF_HNSW.cpp:262, 802-814) and, more
+importantly, the XLA gathers that dominate the portable implementation
+(measured: 317 us/query code-row gather + 2763 us/query LUT take_along_axis
+on a v5e at nprobe=32/max_codes=10k — 60x the total budget).
+
+Design:
+
+- **Tiled code layout**: posting lists are stored 256-code-aligned; one scan
+  chunk = one HBM tile ``[24, 256] u8`` = rows 0..15 the *transposed* PQ
+  codes, row 16 the 1-byte norm codes, rows 17..23 zero padding (DMA slice
+  rows must be 8-aligned). A chunk is a single contiguous DMA —
+  no gather, because probe segments are contiguous runs by construction.
+- **VMEM LUTs with folded terms**: per query a ``[24, 256] f32`` table whose
+  rows 0..15 are ``-2 * <q_m, codebook_m[k]>`` (term3 with its sign/factor
+  folded in) and row 16 is the norm-PQ decode table (term2). The ADC
+  distance is then ``bias + sum_rows(table[row, code[row]])`` — one
+  ``tpu.dynamic_gather`` per 128-lane half (the gather dimension must fit a
+  single vreg, so the 256-entry tables are split into two halves + select).
+- **Double-buffered DMA**: chunk j+1 streams in while chunk j computes.
+- Output is the full masked distance array ``[B, NCH*256]``; top-k and the
+  tiny k-element id gather stay in XLA.
+
+The kernel is grid-(B, NCH) with scalar-prefetched per-chunk metadata
+(tile index, valid length, term1 bias) computed by
+:func:`chunk_metadata` — which also reproduces the reference's max_codes
+budget semantics (IndexIVF_HNSW.cpp:290-292) at probe granularity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ivfhnsw_tpu.ops.topk import topk_smallest
+
+CHUNK = 256
+LUT_ROWS = 24  # 16 PQ subquantizers + 1 norm row + 7 pad rows
+NORM_ROW = 16  # row index of the norm-decode table
+DEPTH = 4      # DMA pipeline depth (scratch slots)
+TL_PACK = 512  # packed metadata: value = tile_idx * TL_PACK + chunk_len;
+               # bounds per-shard tiles to 2^31/512 = 4.2M (1.07B codes)
+
+
+def build_luts_ext(q_rot, codebooks, norm_centroids, precision=None):
+    """[B, d] queries -> [B, LUT_ROWS, 256] f32 fused tables.
+
+    rows 0..M-1: -2 * inner-product LUT (term3 folded); row NORM_ROW: the
+    norm decode table (term2); remaining rows zero (match zero code rows).
+    """
+    from ivfhnsw_tpu.ops.pq import _pq_ip_luts
+    B = q_rot.shape[0]
+    M, ksub, _ = codebooks.shape
+    luts = _pq_ip_luts(q_rot, codebooks, precision=precision)  # [B, M, ksub]
+    out = jnp.zeros((B, LUT_ROWS, 256), jnp.float32)
+    out = out.at[:, :M, :ksub].set(-2.0 * luts)
+    out = out.at[:, NORM_ROW, :norm_centroids.shape[0]].set(
+        jnp.broadcast_to(norm_centroids, (B, norm_centroids.shape[0])))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def chunk_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
+                   max_codes, nch: int):
+    """Per-query chunk schedule.
+
+    probes [B, P] ascending-distance centroid ids; tile_offsets [nc+1] —
+    tile index where each list's aligned storage starts; list_sizes [nc].
+    Returns (chunk_tile [B, nch] i32, chunk_len [B, nch] i32,
+             chunk_bias [B, nch] f32).
+    """
+    B, P = probes.shape
+
+    sizes = list_sizes[probes].astype(jnp.int32)               # [B, P]
+    cum_before = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(sizes, axis=1)[:, :-1]],
+        axis=1)
+    included = jnp.logical_or(max_codes <= 0, cum_before < max_codes)
+    tcnt = jnp.where(included, (sizes + CHUNK - 1) // CHUNK, 0)  # [B, P]
+    bounds = jnp.cumsum(tcnt, axis=1)                           # [B, P]
+    starts = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), bounds[:, :-1]], axis=1)
+    term1 = qc_dists - centroid_norms[probes]                   # [B, P]
+    j = jnp.arange(nch, dtype=jnp.int32)
+
+    # seg[b, j] = #{i : bounds[b, i] <= j} — P is small, so a comparison-sum
+    # beats vmapped searchsorted by a wide margin on TPU.
+    seg = jnp.sum((bounds[:, None, :] <= j[None, :, None]).astype(jnp.int32),
+                  axis=2)                                       # [B, nch]
+    seg_c = jnp.minimum(seg, P - 1)
+    within = j[None, :] - jnp.take_along_axis(starts, seg_c, axis=1)
+    probe_sel = jnp.take_along_axis(probes, seg_c, axis=1)
+    tile = tile_offsets[probe_sel].astype(jnp.int32) + within
+    ln = jnp.clip(jnp.take_along_axis(sizes, seg_c, axis=1) - within * CHUNK,
+                  0, CHUNK)
+    valid = j[None, :] < bounds[:, -1:]
+    return (jnp.where(valid, tile, 0),
+            jnp.where(valid, ln, 0),
+            jnp.where(valid, jnp.take_along_axis(term1, seg_c, axis=1), 0.0))
+
+
+def _adc_kernel(tl_smem,   # scalar prefetch: packed tile*TL_PACK + len
+                luts_ref, tiles_hbm, out_ref, scratch, sems):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nch = pl.num_programs(1)
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(tiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    # DEPTH-deep rolling DMA pipeline on global-step index: each step issues
+    # the DMA for step g+DEPTH-1 (warm-up issues the first DEPTH-1), waits on
+    # its own slot. Zero-length (padding) chunks issue no DMA and just write
+    # +inf, so only real chunks consume bandwidth.
+    g = b * nch + j
+    slot = jax.lax.rem(g, DEPTH)
+
+    def start_for(gg):
+        bb = gg // nch
+        jj = jax.lax.rem(gg, nch)
+        tl = tl_smem[bb, jj]
+
+        @pl.when(jax.lax.rem(tl, TL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(gg, DEPTH), tl // TL_PACK).start()
+
+    @pl.when(g == 0)
+    def _():
+        for w in range(DEPTH - 1):
+            @pl.when(w < nb * nch)
+            def _():
+                start_for(jnp.int32(w))
+
+    @pl.when(g + DEPTH - 1 < nb * nch)
+    def _():
+        start_for(g + DEPTH - 1)
+
+    tl = tl_smem[b, j]
+    ln = jax.lax.rem(tl, TL_PACK)
+
+    @pl.when(ln > 0)
+    def _():
+        dma(slot, tl // TL_PACK).wait()
+        idx = scratch[slot].astype(jnp.int32)              # [24, 256]
+        lut = luts_ref[0]                                  # [24, 256]
+        lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+        def half(idx_h):
+            idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+            g0 = jnp.take_along_axis(lut0, idxm, axis=1,
+                                     mode="promise_in_bounds")
+            g1 = jnp.take_along_axis(lut1, idxm, axis=1,
+                                     mode="promise_in_bounds")
+            return jnp.where(idx_h < 128, g0, g1)
+
+        gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
+                             axis=1)
+        t = jnp.sum(gg, axis=0, keepdims=True)             # [1, 256]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.where(
+            lane < ln, t, jnp.inf)[0]
+
+    @pl.when(ln == 0)
+    def _():
+        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.full(
+            (CHUNK,), jnp.inf, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
+                   interpret: bool = False):
+    """Run the fused scan. Returns dists [B, nch*CHUNK] f32 (masked +inf).
+
+    luts_ext [B, 24, 256] f32; chunk_* [B, nch]; tiles [NT, 24, 256] u8.
+    The per-chunk term1 bias is added outside the kernel (broadcast add is
+    free in XLA and keeps SMEM usage to one packed i32 array — SMEM is 1 MB).
+    """
+    B, nch = chunk_tile.shape
+    tl = chunk_tile * TL_PACK + chunk_len
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nch),
+        in_specs=[
+            pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        # One [1, 1, nch*CHUNK] block per query, revisited across the chunk
+        # grid dimension (satisfies the (8,128)-divisible-or-full rule).
+        out_specs=pl.BlockSpec((1, 1, nch * CHUNK),
+                               lambda b, j, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, LUT_ROWS, CHUNK), jnp.uint8),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _adc_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, nch * CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(tl, luts_ext, tiles)
+    out = out.reshape(B, nch, CHUNK) + chunk_bias[:, :, None]
+    return out.reshape(B, nch * CHUNK)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def adc_search_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
+                     ids_aligned, k: int, interpret: bool = False):
+    """Full scan + top-k + id resolution.
+
+    Returns (dists [B, k], labels [B, k] int32)."""
+    dists = adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias,
+                           tiles, interpret=interpret)
+    best, sel = topk_smallest(dists, k)
+    chunk_of = sel // CHUNK
+    within = sel % CHUNK
+    tile_sel = jnp.take_along_axis(chunk_tile, chunk_of, axis=1)
+    flat_pos = tile_sel * CHUNK + within
+    labels = ids_aligned[flat_pos]
+    labels = jnp.where(jnp.isfinite(best), labels, -1)
+    return best, labels
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
+                     "interpret", "precision"))
+def pallas_search_core(queries, centroids, centroid_norms, codebooks,
+                       norm_centroids, R, tiles, ids_aligned, tile_offsets,
+                       list_sizes, max_codes, *, nprobe: int, k: int,
+                       nch: int, coarse_block: int, use_opq: bool,
+                       interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST):
+    """End-to-end IVFADC search step on the Pallas engine, fused into ONE
+    XLA program (per-op dispatch through the remote-TPU tunnel costs ~ms, so
+    the whole coarse -> LUT -> schedule -> scan -> top-k chain must be a
+    single launch)."""
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    qc_dists, probes = streaming_topk_l2(
+        queries, centroids, nprobe, block=coarse_block,
+        point_sqnorms=centroid_norms, precision=precision)
+    q_rot = queries @ R.T if use_opq else queries
+    luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
+                              precision=precision)
+    ct, cl, cb = chunk_metadata(probes, qc_dists, centroid_norms,
+                                tile_offsets, list_sizes, max_codes, nch)
+    return adc_search_tiles(luts_ext, ct, cl, cb, tiles, ids_aligned, k,
+                            interpret=interpret)

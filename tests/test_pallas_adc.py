@@ -1,0 +1,96 @@
+"""The Pallas fused ADC kernel must produce the same results as the portable
+XLA path (which is itself oracle-verified in test_ivfadc.py). Runs in
+interpreter mode on CPU."""
+
+import jax
+import numpy as np
+import pytest
+
+from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.RandomState(9)
+    nb, d = 9000, 32
+    centers = rng.randn(48, d).astype(np.float32) * 5
+    base = centers[rng.randint(0, 48, nb)] + rng.randn(nb, d).astype(np.float32)
+    queries = centers[rng.randint(0, 48, 24)] + rng.randn(24, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=64, code_size=8)
+    idx = IVFADCIndex(cfg)
+    key = jax.random.PRNGKey(0)
+    idx.train_centroids(key, base[:4000], niter=12)
+    idx.train_pq(key, base[:4000])
+    idx.add_batch(base, np.arange(nb, dtype=np.int32))
+    idx.finalize()
+    return idx, queries
+
+
+def both_engines(idx, queries, params):
+    idx.engine = "xla"
+    d1, l1 = idx.search(queries, params)
+    idx.engine = "pallas_interpret"
+    d2, l2 = idx.search(queries, params)
+    idx.engine = "auto"
+    return d1, l1, d2, l2
+
+
+def assert_same(d1, l1, d2, l2):
+    np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-3)
+    mism = l1 != l2
+    if mism.any():  # exact-tie label swaps allowed
+        assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_matches_xla_unlimited(built):
+    idx, queries = built
+    d1, l1, d2, l2 = both_engines(idx, queries,
+                                  SearchParams(k=10, nprobe=8, max_codes=0))
+    assert_same(d1, l1, d2, l2)
+
+
+def test_pallas_matches_xla_budget(built):
+    idx, queries = built
+    d1, l1, d2, l2 = both_engines(
+        idx, queries, SearchParams(k=10, nprobe=16, max_codes=300))
+    assert_same(d1, l1, d2, l2)
+
+
+def test_pallas_opq():
+    rng = np.random.RandomState(10)
+    nb, d = 5000, 32
+    base = rng.randn(nb, d).astype(np.float32)
+    queries = rng.randn(10, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=32, code_size=8, do_opq=True)
+    idx = IVFADCIndex(cfg)
+    key = jax.random.PRNGKey(1)
+    idx.train_centroids(key, base[:3000], niter=8)
+    idx.train_pq(key, base[:3000], opq_niter=5)
+    idx.add_batch(base, np.arange(nb, dtype=np.int32))
+    idx.finalize()
+    d1, l1, d2, l2 = both_engines(idx, queries,
+                                  SearchParams(k=5, nprobe=4, max_codes=0))
+    assert_same(d1, l1, d2, l2)
+
+
+def test_tiled_store_layout(built):
+    idx, _ = built
+    store = idx.store
+    tiled = store.tiled()
+    off = np.asarray(store.list_offsets)
+    toff = np.asarray(tiled.tile_offsets)
+    sizes = off[1:] - off[:-1]
+    np.testing.assert_array_equal(np.diff(toff), -(-sizes // 256))
+    # Row 16 of each tile holds norm codes; codes rows transposed.
+    tiles = np.asarray(tiled.tiles)
+    ids_al = np.asarray(tiled.ids_aligned)
+    codes = np.asarray(store.codes)
+    ncodes = np.asarray(store.norm_codes)
+    ids = np.asarray(store.ids)
+    c = int(np.argmax(sizes > 0))
+    lo, n = off[c], min(int(sizes[np.argmax(sizes > 0)]), 256)
+    t0 = toff[c]
+    np.testing.assert_array_equal(tiles[t0, :8, :n], codes[lo:lo + n].T)
+    np.testing.assert_array_equal(tiles[t0, 16, :n], ncodes[lo:lo + n])
+    np.testing.assert_array_equal(ids_al[t0 * 256:t0 * 256 + n],
+                                  ids[lo:lo + n])

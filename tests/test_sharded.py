@@ -1,0 +1,57 @@
+"""Sharded search must reproduce single-chip results exactly (up to f32
+reduction-order ties) on an 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
+from ivfhnsw_tpu.parallel import ShardedIVFADC, make_mesh
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.RandomState(5)
+    nb, d = 12000, 32
+    centers = rng.randn(48, d).astype(np.float32) * 5
+    base = centers[rng.randint(0, 48, nb)] + rng.randn(nb, d).astype(np.float32)
+    queries = centers[rng.randint(0, 48, 32)] + rng.randn(32, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=64, code_size=8)
+    idx = IVFADCIndex(cfg)
+    key = jax.random.PRNGKey(0)
+    idx.train_centroids(key, base[:4000], niter=12)
+    idx.train_pq(key, base[:4000])
+    idx.add_batch(base, np.arange(nb, dtype=np.int32))
+    idx.finalize()
+    return idx, queries
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_matches_single_chip(built, ndev):
+    idx, queries = built
+    mesh = make_mesh(ndev)
+    sharded = ShardedIVFADC(idx, mesh)
+    p = SearchParams(k=10, nprobe=8, max_codes=0)
+    d1, l1 = idx.search(queries, p)
+    d2, l2 = sharded.search(queries, p)
+    np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-3)
+    mism = l1 != l2
+    if mism.any():  # ties may swap
+        assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_max_codes_budget(built):
+    idx, queries = built
+    mesh = make_mesh(4)
+    sharded = ShardedIVFADC(idx, mesh)
+    p = SearchParams(k=10, nprobe=16, max_codes=500)
+    d1, l1 = idx.search(queries, p)
+    d2, l2 = sharded.search(queries, p)
+    np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_rejects_bad_partition(built):
+    idx, _ = built
+    mesh = make_mesh(3)  # 64 % 3 != 0
+    with pytest.raises(ValueError):
+        ShardedIVFADC(idx, mesh)
