@@ -173,6 +173,38 @@ class XvecFile:
         return rows.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Segment-file discovery for the incremental-add pipeline
+# (get_files/check_files/get_index_name/base_vec_num, utils.cpp:204-276)
+# ---------------------------------------------------------------------------
+
+def base_vec_num(path: str, d: int, dtype=np.uint8) -> int:
+    """Record count of an xvec file, validating exact record-size multiple
+    (base_vec_num, utils.cpp:204-220)."""
+    return xvec_count(path, d, dtype)
+
+
+def get_files(path_dir: str, file_ext: str) -> list[str]:
+    """Sorted filenames in path_dir whose name contains file_ext (and is not
+    exactly file_ext) — get_files/is_ext_match semantics, utils.cpp:222-262."""
+    out = [f for f in os.listdir(path_dir)
+           if file_ext in f and f != file_ext]
+    return sorted(out)
+
+
+def check_files(file_prefix: str, file_list: list[str]) -> None:
+    """Every file must start with file_prefix (check_files, utils.cpp:264-271)."""
+    for f in file_list:
+        if not f.startswith(file_prefix):
+            raise ValueError(f"segment file {f!r} does not start with "
+                             f"prefix {file_prefix!r}")
+
+
+def get_index_name(path_idx: str, idx: int) -> str:
+    """'{path}_NN.index' segment index naming (get_index_name, utils.cpp:273-275)."""
+    return f"{path_idx}_{idx:02d}.index"
+
+
 def random_subset(data: np.ndarray, n_sub: int, seed: int = 1234) -> np.ndarray:
     """random_subset equivalent (utils.cpp:12-20): sample n_sub rows without
     replacement with a fixed default seed of 1234."""

@@ -1,0 +1,79 @@
+"""Driver smoke tests (synthetic mode, tiny sizes) — the 12-binary surface
+of the reference (SURVEY.md §2.2) exercised end-to-end."""
+
+import sys
+
+import numpy as np
+import pytest
+
+COMMON = ("-synthetic 0 -d 16 -nc 32 -code_size 4 -nb 5000 -nt 3000 "
+          "-nq 50 -k 10 -nprobe 8 -max_codes 1000")
+
+
+def run_driver(mod, args):
+    sys.argv = ["driver"] + args.split()
+    return __import__(f"ivfhnsw_tpu.drivers.{mod}", fromlist=["main"]).main()
+
+
+def test_ivfadc_eval_driver(tmp_path):
+    res = run_driver("ivfadc_eval", COMMON)
+    assert res["recalls"][10] > 0.3
+
+
+def test_ivfadc_eval_artifacts_resume(tmp_path):
+    args = (COMMON
+            + f" -path_centroids {tmp_path}/c.fvecs"
+            + f" -path_pq {tmp_path}/q.pq -path_norm_pq {tmp_path}/n.pq"
+            + f" -path_precomputed_idxs {tmp_path}/idx.ivecs"
+            + f" -path_index {tmp_path}/x.index")
+    r1 = run_driver("ivfadc_eval", args)
+    # Second run must resume from every artifact and reproduce results.
+    r2 = run_driver("ivfadc_eval", args)
+    np.testing.assert_array_equal(r1["labels"], r2["labels"])
+
+
+def test_grouping_eval_driver():
+    res = run_driver("grouping_eval", COMMON + " -nsubc 4 -do_pruning on")
+    assert res["recalls"][10] > 0.3
+
+
+def test_enn_driver():
+    rate = run_driver("enn", COMMON + " -nprobe 1 -max_codes 0")
+    assert rate > 0.5
+
+
+def test_disk_rerank_driver():
+    res = run_driver("disk_rerank", COMMON + " -nsubc 4")
+    assert res["recalls"][10] > 0.3
+
+
+def test_vector_add_driver():
+    res = run_driver("vector_add", COMMON + " -nsubc 4 -segments 3")
+    assert len(res) == 3
+    # Recall grows (or holds) as segments accumulate.
+    assert res[-1]["recalls"][10] >= res[0]["recalls"][10]
+
+
+def test_mkindex_driver(tmp_path):
+    run_driver("mkindex",
+               COMMON + f" -nsubc 4 -orcv_home {tmp_path}/orcv")
+    import os
+    assert os.path.exists(tmp_path / "orcv" / "hdr.vec")
+    assert os.path.exists("centriods.log")
+    os.remove("centriods.log")
+
+
+def test_orca_debug_driver(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_driver("orca_debug", COMMON)
+    import os
+    assert os.path.exists("centroids_hit.log")
+
+
+def test_config_json_roundtrip(tmp_path):
+    from ivfhnsw_tpu.utils.config import RunConfig, parse_args
+    cfg = parse_args(COMMON.split()[2:])  # skip -synthetic flag pair
+    text = cfg.to_json()
+    cfg2 = RunConfig.from_json(text)
+    assert cfg2.index.nc == cfg.index.nc
+    assert cfg2.search.max_codes == cfg.search.max_codes
