@@ -131,10 +131,19 @@ class IVFADCIndex:
         self.max_codes = 10000
         # Coarse streaming block (centroid rows per MXU sweep step).
         self.coarse_block = 16384
-        # Scan engine: "auto" picks the Pallas fused kernel on TPU and the
-        # portable XLA path elsewhere; "pallas_interpret" runs the kernel in
-        # interpreter mode (CPU correctness testing).
+        # Scan engine: "auto" picks the Pallas shared-scan batch kernel on
+        # TPU and the portable XLA path elsewhere. Explicit options:
+        # "xla", "pallas" (per-query fused kernel), "batch" (query-blocked
+        # shared scan, the fast path for batch workloads), and
+        # "*_interpret" variants for CPU correctness testing.
         self.engine = "auto"
+        # Batch-engine knobs: queries per block, union-list capacity and
+        # chunk capacity per block (None = heuristic; overflow is counted in
+        # stats["batch_overflow"] — raise batch_u if it fires).
+        self.batch_qb = 64
+        self.batch_u: Optional[int] = None
+        self.batch_nch: Optional[int] = None
+        self._c_rank = None  # spatial centroid rank for query blocking
         # Stats counter, analog of hnswlib dist_calc (hnswalg.h:58).
         self.stats = {"queries": 0, "codes_scanned": 0}
 
@@ -307,10 +316,47 @@ class IVFADCIndex:
     def _resolve_engine(self, trace: bool) -> str:
         eng = self.engine
         if eng == "auto":
+            # NOTE: the shared-scan "batch" engine is opt-in until its
+            # at-scale device wedge (observed on v5e via the axon tunnel at
+            # grid ~32x288) is root-caused; "pallas" is the validated default.
             eng = "pallas" if jax.default_backend() == "tpu" else "xla"
         if trace:
             eng = "xla"  # trace outputs only exist on the portable path
         return eng
+
+    def _search_batch(self, blk, params: SearchParams, nprobe: int,
+                      interpret: bool):
+        """Shared-scan batch engine (ops.pallas.batch_scan)."""
+        from ivfhnsw_tpu.ops.pallas import batch_scan as bs
+        store = self._ensure_store()
+        tiled = store.tiled()
+        if self._c_rank is None:
+            self._c_rank = jnp.asarray(bs.spatial_rank(self.centroids))
+        QB = self.batch_qb
+        U = self.batch_u or min(4 * nprobe, self.nc)
+        mx = store.max_list_size()
+        if self.batch_nch is not None:
+            nch = self.batch_nch
+        elif params.max_codes and params.max_codes > 0:
+            nch = 4 * (params.max_codes // bs.CHUNK + 1) + U
+        else:
+            nch = U * max(1, -(-mx // bs.CHUNK))
+        B = blk.shape[0]
+        pad = (-B) % QB
+        if pad:
+            blk = np.pad(blk, ((0, pad), (0, 0)))
+        d, l, ov = bs.batch_search_core(
+            jnp.asarray(blk), self.centroids, self.centroid_norms,
+            self.pq.codebooks, self.norm_pq.centroids,
+            self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
+            tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
+            tiled.list_sizes, self._c_rank, jnp.int32(params.max_codes),
+            nprobe=nprobe, k=params.k, QB=QB, U=U, nch=nch,
+            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+            use_opq=self.do_opq, interpret=interpret)
+        self.stats["batch_overflow"] = (self.stats.get("batch_overflow", 0)
+                                        + int(np.asarray(ov).sum()))
+        return d[:B], l[:B]
 
     def _search_pallas(self, blk, params: SearchParams, nprobe: int,
                        interpret: bool):
@@ -347,6 +393,10 @@ class IVFADCIndex:
         engine = self._resolve_engine(trace)
         if engine == "xla":
             L = self._scan_budget(params)
+        elif engine.startswith("batch"):
+            # Bigger per-call batches improve probe sharing; the partial
+            # distance array [B, nch, 256] f32 bounds it.
+            batch = min(batch, 2048)
         else:
             # Scalar-prefetch chunk metadata lives in 1MB SMEM:
             # batch x nch x 4B (packed tile+len) must fit with headroom.
@@ -359,7 +409,11 @@ class IVFADCIndex:
             n = blk.shape[0]
             if n < batch and nq > batch:
                 blk = np.pad(blk, ((0, batch - n), (0, 0)))
-            if engine in ("pallas", "pallas_interpret"):
+            if engine in ("batch", "batch_interpret"):
+                d, l = self._search_batch(
+                    blk, params, nprobe,
+                    interpret=(engine == "batch_interpret"))
+            elif engine in ("pallas", "pallas_interpret"):
                 d, l = self._search_pallas(
                     blk, params, nprobe,
                     interpret=(engine == "pallas_interpret"))
@@ -485,7 +539,10 @@ class IVFADCIndex:
 
     def read(self, path: str) -> None:
         """Parse the whole file buffer in one pass (the reference does 3*nc
-        stream reads; at nc=2^20 per-call overhead matters)."""
+        stream reads; at nc=2^20 per-call overhead matters). Uses the native
+        series parser when built — the flat payloads are already in
+        centroid-sorted order, so the store is assembled without any
+        per-list Python loop."""
         buf = np.fromfile(path, dtype=np.uint8)
         pos = 0
 
@@ -496,25 +553,43 @@ class IVFADCIndex:
             pos += dt.itemsize * count
             return out
 
-        def take_lenvec(dtype):
-            n = int(take("<u4", 1)[0])
-            return take(dtype, n)
-
         d = int(take("<u8", 1)[0])
         nc = int(take("<u8", 1)[0])
         if (d, nc) != (self.d, self.nc):
             raise ValueError(f"index file (d={d}, nc={nc}) != config "
                              f"({self.d}, {self.nc})")
-        ids = [take_lenvec("<u4").astype(np.int32) for _ in range(nc)]
-        codes = [take_lenvec("u1").reshape(-1, self.config.pq_m)
-                 for _ in range(nc)]
-        ncodes = [take_lenvec("u1") for _ in range(nc)]
-        self.store = store_from_lists(
-            nc, self.config.pq_m, zip(ids, codes, ncodes))
+        from ivfhnsw_tpu.utils import native
+        from ivfhnsw_tpu.models.storage import PostingListStore
+        if native.available():
+            ids_flat, counts, pos = native.lenvec_series(buf, pos, nc, "<u4")
+            codes_flat, ccounts, pos = native.lenvec_series(buf, pos, nc, "u1")
+            nrm_flat, _, pos = native.lenvec_series(buf, pos, nc, "u1")
+            offsets = np.zeros(nc + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            self.store = PostingListStore(
+                codes=jnp.asarray(
+                    codes_flat.reshape(-1, self.config.pq_m)),
+                ids=jnp.asarray(ids_flat.astype(np.int32)),
+                norm_codes=jnp.asarray(nrm_flat),
+                list_offsets=jnp.asarray(offsets.astype(np.int32)),
+                nc=nc)
+        else:
+            def take_lenvec(dtype):
+                n = int(take("<u4", 1)[0])
+                return take(dtype, n)
+            ids = [take_lenvec("<u4").astype(np.int32) for _ in range(nc)]
+            codes = [take_lenvec("u1").reshape(-1, self.config.pq_m)
+                     for _ in range(nc)]
+            ncodes = [take_lenvec("u1") for _ in range(nc)]
+            self.store = store_from_lists(
+                nc, self.config.pq_m, zip(ids, codes, ncodes))
         self.builder = PostingListBuilder(self.nc, self.config.pq_m)
-        norms = take_lenvec("<f4")
-        if norms.size == nc:
-            self.centroid_norms = jnp.asarray(norms)
+        if buf.size >= pos + 4:
+            n_norms = int(buf[pos:pos + 4].view("<u4")[0])
+            pos += 4
+            norms = buf[pos:pos + 4 * n_norms].view("<f4")
+            if norms.size == nc:
+                self.centroid_norms = jnp.asarray(norms.copy())
 
     def write2(self, home_dir: str, n_vecs: int) -> None:
         """ORCV persistent-index export (write2, IndexIVF_HNSW.cpp:672-755):

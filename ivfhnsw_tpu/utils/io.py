@@ -88,7 +88,16 @@ def read_xvec(path: str, d: int, n: int | None = None, offset: int = 0,
 def read_xvec_fvec(path: str, d: int, n: int | None = None, offset: int = 0,
                    dtype=None) -> np.ndarray:
     """readXvecFvec equivalent (utils.h:112-127): read any xvec payload and
-    promote to float32."""
+    promote to float32. Uses the native streaming decoder when built
+    (native/ivfhnsw_native.cpp), falling back to numpy."""
+    if dtype is None:
+        dtype = XVEC_DTYPES[os.path.splitext(path)[1]]
+    if n is None:
+        n = xvec_count(path, d, dtype) - offset
+    from ivfhnsw_tpu.utils import native
+    out = native.xvec_read_f32(path, d, n, offset, dtype)
+    if out is not None:
+        return out
     return read_xvec(path, d, n, offset, dtype=dtype).astype(np.float32)
 
 
