@@ -440,6 +440,34 @@ class IVFADCGroupingIndex(IVFADCIndex):
                                                    self.nc):].sum())
         return _round_up(max(budget, 128), 128)
 
+    def _search_pallas_grouping(self, blk, params: SearchParams, nprobe: int,
+                                interpret: bool):
+        """Fused grouping kernel (ops.pallas.grouping_scan)."""
+        from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
+        store = self._ensure_store()
+        tiled = store.tiled_grouped(self.nsubc)
+        off = np.asarray(store.list_offsets)
+        sub_sizes = jnp.asarray(
+            (off[1:] - off[:-1]).reshape(self.nc, self.nsubc)
+            .astype(np.int32))
+        gsizes = np.asarray(tiled.list_sizes)
+        mx = int(gsizes.max()) if gsizes.size else 0
+        if params.max_codes and params.max_codes > 0:
+            nch = (params.max_codes + mx) // gs.CHUNK + nprobe + 1
+        else:
+            nch = nprobe * max(1, -(-mx // gs.CHUNK))
+        return gs.grouping_pallas_search_core(
+            jnp.asarray(blk), self.centroids, self.centroid_norms,
+            self.pq.codebooks, self.norm_pq.centroids,
+            self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
+            tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
+            self.nn_centroid_idxs, self.alphas, self.inter_centroid_dists,
+            sub_sizes, jnp.int32(params.max_codes),
+            nprobe=nprobe, k=params.k, nch=max(nch, 1), nsubc=self.nsubc,
+            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+            use_opq=self.do_opq, do_pruning=params.do_pruning,
+            interpret=interpret)
+
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 4096, trace: bool = False):
         params = params or SearchParams(k=10, nprobe=self.nprobe,
@@ -448,8 +476,14 @@ class IVFADCGroupingIndex(IVFADCIndex):
         store = self._ensure_store()
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
-        L = self._scan_budget(params)
         nprobe = min(params.nprobe, self.nc)
+        engine = self._resolve_engine(trace)
+        if engine.startswith("batch"):
+            engine = "pallas"  # no shared-scan variant for grouping (yet)
+        if engine == "xla":
+            L = self._scan_budget(params)
+        else:
+            batch = min(batch, 1024)  # scalar metadata in 1MB SMEM
         out_d = np.empty((nq, params.k), np.float32)
         out_l = np.empty((nq, params.k), np.int64)
         for off in range(0, nq, batch):
@@ -457,16 +491,25 @@ class IVFADCGroupingIndex(IVFADCIndex):
             n = blk.shape[0]
             if n < batch and nq > batch:
                 blk = np.pad(blk, ((0, batch - n), (0, 0)))
-            d, l = _grouping_search_core(
-                jnp.asarray(blk), self.centroids, self.centroid_norms,
-                self.pq.codebooks, self.norm_pq.centroids,
-                self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
-                store.codes, store.ids, store.norm_codes, store.list_offsets,
-                self.nn_centroid_idxs, self.alphas, self.inter_centroid_dists,
-                self._group_sizes(), jnp.int32(params.max_codes),
-                nprobe=nprobe, k=params.k, L=L, nsubc=self.nsubc,
-                coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
-                use_opq=self.do_opq, do_pruning=params.do_pruning)
+            if engine in ("pallas", "pallas_interpret"):
+                d, l = self._search_pallas_grouping(
+                    blk, params, nprobe,
+                    interpret=(engine == "pallas_interpret"))
+            else:
+                d, l = _grouping_search_core(
+                    jnp.asarray(blk), self.centroids, self.centroid_norms,
+                    self.pq.codebooks, self.norm_pq.centroids,
+                    self.opq_R if self.do_opq else
+                    jnp.zeros((0, 0), jnp.float32),
+                    store.codes, store.ids, store.norm_codes,
+                    store.list_offsets, self.nn_centroid_idxs, self.alphas,
+                    self.inter_centroid_dists, self._group_sizes(),
+                    jnp.int32(params.max_codes),
+                    nprobe=nprobe, k=params.k, L=self._scan_budget(params),
+                    nsubc=self.nsubc,
+                    coarse_block=min(self.coarse_block,
+                                     _round_up(self.nc, 128)),
+                    use_opq=self.do_opq, do_pruning=params.do_pruning)
             out_d[off:off + n] = np.asarray(d)[:n]
             out_l[off:off + n] = np.asarray(l)[:n]
         self.stats["queries"] += nq

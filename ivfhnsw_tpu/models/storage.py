@@ -26,6 +26,7 @@ import numpy as np
 CHUNK = 256      # codes per tile; must match ops.pallas.adc_scan.CHUNK
 TILE_ROWS = 24   # 16 transposed code rows + 1 norm row + 7 pad (8-aligned DMA)
 NORM_ROW = 16
+SUBC_ROW = 17    # grouping layout only: per-position subcentroid index
 
 
 @dataclass
@@ -110,6 +111,64 @@ class PostingListStore:
             ids_aligned=jnp.asarray(ids_al),
             tile_offsets=jnp.asarray(tile_off.astype(np.int32)),
             list_sizes=jnp.asarray(sizes.astype(np.int32)),
+        )
+        return self._tiled
+
+    def tiled_grouped(self, nsubc: int, max_m: int = 16) -> TiledStore:
+        """Group-aligned tile layout for the grouping index: this store's nc
+        must be n_groups * nsubc (flattened subgroup lists). Groups (not
+        subgroups — they average only tens of codes) are 256-aligned;
+        subgroups stay contiguous inside their group, and tile row 17 holds
+        each position's subcentroid index so the kernel can apply per-subc
+        term2/pruning via a lane gather."""
+        if self._tiled is not None:
+            return self._tiled
+        if self.nc % nsubc != 0:
+            raise ValueError("store nc not divisible by nsubc")
+        ngroups = self.nc // nsubc
+        off = np.asarray(self.list_offsets).astype(np.int64)
+        sub_sizes = (off[1:] - off[:-1]).reshape(ngroups, nsubc)
+        gsizes = sub_sizes.sum(axis=1)
+        tcnt = (gsizes + CHUNK - 1) // CHUNK
+        tile_off = np.zeros(ngroups + 1, np.int64)
+        np.cumsum(tcnt, out=tile_off[1:])
+        nt = max(int(tile_off[-1]), 1)
+        n_al = nt * CHUNK
+
+        codes = np.asarray(self.codes)
+        ncodes = np.asarray(self.norm_codes)
+        ids = np.asarray(self.ids)
+        m = codes.shape[1]
+        if m > max_m:
+            raise ValueError(f"code_size {m} > tile budget {max_m}")
+
+        group_lo = off[:-1].reshape(ngroups, nsubc)[:, 0]
+        list_of = np.repeat(np.arange(self.nc), off[1:] - off[:-1])
+        group_of = list_of // nsubc
+        subc_of = (list_of % nsubc).astype(np.uint8)
+        within_group = np.arange(self.ntotal) - group_lo[group_of]
+        dest = tile_off[group_of] * CHUNK + within_group
+
+        codes_al = np.zeros((n_al, max_m), np.uint8)
+        norm_al = np.zeros(n_al, np.uint8)
+        subc_al = np.zeros(n_al, np.uint8)
+        ids_al = np.full(n_al, -1, np.int32)
+        codes_al[dest, :m] = codes
+        norm_al[dest] = ncodes
+        subc_al[dest] = subc_of
+        ids_al[dest] = ids
+
+        tiles = np.empty((nt, TILE_ROWS, CHUNK), np.uint8)
+        tiles[:, :max_m, :] = codes_al.reshape(nt, CHUNK, max_m).transpose(0, 2, 1)
+        tiles[:, max_m:, :] = 0
+        tiles[:, NORM_ROW, :] = norm_al.reshape(nt, CHUNK)
+        tiles[:, SUBC_ROW, :] = subc_al.reshape(nt, CHUNK)
+
+        self._tiled = TiledStore(
+            tiles=jnp.asarray(tiles),
+            ids_aligned=jnp.asarray(ids_al),
+            tile_offsets=jnp.asarray(tile_off.astype(np.int32)),
+            list_sizes=jnp.asarray(gsizes.astype(np.int32)),
         )
         return self._tiled
 

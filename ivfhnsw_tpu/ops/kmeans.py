@@ -12,9 +12,10 @@ first-class:
   (M independent (n, dsub) -> 256 problems in one call) and the 1-D norm
   quantizer.
 
-Empty clusters keep their previous centroid (faiss instead splits the largest
-cluster; at our sample-to-cluster ratios empties are rare and keeping the old
-centroid is recall-neutral — revisit if a dataset disagrees).
+Empty clusters are relocated next to the largest cluster's centroid with a
+small deterministic offset (faiss-style splitting): in the following Lloyd
+iteration the big cluster's points divide between the original and relocated
+centroids, escaping merged-cluster minima.
 """
 
 from __future__ import annotations
@@ -26,6 +27,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from ivfhnsw_tpu.ops.distances import assign_top1, l2sqr_pairwise
+
+
+@functools.partial(jax.jit, static_argnames=("k", "precision"))
+def kmeanspp_init(key, data, k: int, precision=None):
+    """k-means++ seeding on data [n, d] (D^2-weighted sampling). O(n*k) —
+    callers subsample for very large n."""
+    n, d = data.shape
+    data = data.astype(jnp.float32)
+    k0, k1 = jax.random.split(key)
+    first = data[jax.random.randint(k0, (), 0, n)]
+    mind = jnp.sum((data - first[None]) ** 2, axis=1)
+    keys = jax.random.split(k1, k)
+
+    def body(i, carry):
+        cents, mind = carry
+        idx = jax.random.categorical(keys[i], jnp.log(mind + 1e-30))
+        c = data[idx]
+        cents = cents.at[i].set(c)
+        mind = jnp.minimum(mind, jnp.sum((data - c[None]) ** 2, axis=1))
+        return cents, mind
+
+    cents = jnp.zeros((k, d), jnp.float32).at[0].set(first)
+    cents, _ = jax.lax.fori_loop(1, k, body, (cents, mind))
+    return cents
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_c", "precision"))
@@ -70,21 +95,43 @@ def kmeans(key, data, k: int, niter: int = 25, block_c: int = 16384,
     data_blocks = jnp.asarray(padded.reshape(nb, block_n, d))
     valid = jnp.asarray(valid.reshape(nb, block_n))
 
-    perm = jax.random.permutation(key, n)[:k]
-    centroids = jnp.asarray(data[np.asarray(perm)])
+    # k-means++ on a subsample (D^2 seeding fixes merged-cluster minima that
+    # random init falls into). Its sequential k-step loop is only worth it
+    # for small/medium k; very large k (coarse centroids at 2^20) uses
+    # random init like faiss.
+    k_init, key = jax.random.split(key)
+    if k <= 4096:
+        sub_n = min(n, max(4 * k, 16384))
+        sub = data[np.random.RandomState(0).permutation(n)[:sub_n]]
+        centroids = kmeanspp_init(k_init, jnp.asarray(sub), k,
+                                  precision=precision)
+    else:
+        perm = np.random.RandomState(
+            int(jax.random.randint(k_init, (), 0, 2**31 - 1))).permutation(n)
+        centroids = jnp.asarray(data[perm[:k]])
 
     sse = jnp.float32(0.0)
     for it in range(niter):
         sums, counts, sse = _stream_iter(data_blocks, valid, centroids, k,
                                          block_c, precision)
-        nonempty = counts > 0
-        centroids = jnp.where(nonempty[:, None],
-                              sums / jnp.maximum(counts, 1.0)[:, None],
-                              centroids)
+        centroids = _update_with_split(sums, counts, centroids)
         if verbose:
             print(f"  kmeans iter {it}: mse={float(sse) / n:.4f} "
-                  f"empty={int(jnp.sum(~nonempty))}")
+                  f"empty={int(jnp.sum(counts == 0))}")
     return centroids, float(sse) / n
+
+
+@jax.jit
+def _update_with_split(sums, counts, centroids):
+    """Mean update; empty clusters relocate beside the biggest cluster's
+    centroid with a per-cluster deterministic offset (split-the-biggest)."""
+    k = counts.shape[0]
+    nonempty = counts > 0
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    big = jnp.argmax(counts)
+    offs = ((jnp.arange(k, dtype=jnp.float32) % 7.0) + 1.0)[:, None] * 1e-4
+    cand = means[big][None, :] * (1.0 + offs) + offs
+    return jnp.where(nonempty[:, None], means, cand)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "niter", "precision"))
@@ -102,12 +149,13 @@ def kmeans_batched(key, data, k: int, niter: int = 25, precision=None,
     B, n, d = data.shape
     data = data.astype(jnp.float32)
     keys = jax.random.split(key, B)
-
-    def init_one(kk, x):
-        idx = jax.random.permutation(kk, n)[:k]
-        return x[idx]
-
-    centroids = jax.vmap(init_one)(keys, data) if init is None else init
+    if init is None:
+        sub_n = min(n, max(4 * k, 4096))
+        centroids = jax.vmap(
+            lambda kk, x: kmeanspp_init(kk, x[:sub_n], k,
+                                        precision=precision))(keys, data)
+    else:
+        centroids = init
 
     def one_iter(cent, x):
         dists = l2sqr_pairwise(x, cent, precision=precision)
@@ -115,9 +163,7 @@ def kmeans_batched(key, data, k: int, niter: int = 25, precision=None,
         sums = jax.ops.segment_sum(x, idx, num_segments=k)
         counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), idx,
                                      num_segments=k)
-        nonempty = counts > 0
-        return jnp.where(nonempty[:, None],
-                         sums / jnp.maximum(counts, 1.0)[:, None], cent)
+        return _update_with_split(sums, counts, cent)
 
     for _ in range(niter):
         centroids = jax.vmap(one_iter)(centroids, data)

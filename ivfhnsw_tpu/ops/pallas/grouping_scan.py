@@ -1,0 +1,263 @@
+"""Pallas fused scan for the Grouping(+Pruning) index.
+
+Same tiled-DMA + dynamic_gather structure as adc_scan.py, with the grouping
+twists (IndexIVF_HNSW_Grouping.cpp:188-363):
+
+- tiles are **group-aligned** (subgroups average only tens of codes, so
+  aligning each subgroup would waste ~16x; instead a chunk spans subgroups
+  within one group, and tile row SUBC_ROW carries each position's
+  subcentroid index — storage.PostingListStore.tiled_grouped);
+- term1 = (1-a)(||q-c||^2 - ||c||^2) is the per-chunk scalar bias;
+- term2 = a(||q-n||^2 - ||n||^2) differs per subcentroid: the kernel gathers
+  it per lane from a per-(query, probe) 256-entry table delivered as an
+  input block whose index map reads the scalar-prefetched chunk->probe
+  mapping. **Pruning and empty subgroups are folded into this table as
+  +inf**, so the masked-compute semantics of the XLA engine are preserved
+  bit-for-bit while the scan stays branch-free;
+- the max_codes budget is probe-granular over *unpruned* sizes, matching
+  the reference's ncode accounting (:302-353).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ivfhnsw_tpu.ops.pallas.adc_scan import (CHUNK, DEPTH, LUT_ROWS, TL_PACK,
+                                             build_luts_ext)
+from ivfhnsw_tpu.ops.topk import topk_smallest
+
+SUBC_ROW = 17
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def grouping_chunk_metadata(probes, term1, eff_sizes, scan_sizes,
+                            tile_offsets, max_codes, nch: int):
+    """Chunk schedule at group granularity.
+
+    probes [B, P] (ascending distance); term1 [B, P]; eff_sizes [B, P] =
+    unpruned code counts (budget accounting); scan_sizes [B, P] = full group
+    window lengths. Returns (tl packed [B, nch], bias [B, nch], seg [B, nch])."""
+    B, P = probes.shape
+    cum_before = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(eff_sizes, axis=1)[:, :-1]], axis=1)
+    included = jnp.logical_or(max_codes <= 0, cum_before < max_codes)
+    tcnt = jnp.where(included, (scan_sizes + CHUNK - 1) // CHUNK, 0)
+    bounds = jnp.cumsum(tcnt, axis=1)
+    starts = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), bounds[:, :-1]], axis=1)
+    j = jnp.arange(nch, dtype=jnp.int32)
+    seg = jnp.sum((bounds[:, None, :] <= j[None, :, None]).astype(jnp.int32),
+                  axis=2)
+    seg_c = jnp.minimum(seg, P - 1)
+    within = j[None, :] - jnp.take_along_axis(starts, seg_c, axis=1)
+    tile = (tile_offsets[jnp.take_along_axis(probes, seg_c, axis=1)]
+            .astype(jnp.int32) + within)
+    ln = jnp.clip(jnp.take_along_axis(scan_sizes, seg_c, axis=1)
+                  - within * CHUNK, 0, CHUNK)
+    valid = j[None, :] < bounds[:, -1:]
+    tl = jnp.where(valid, tile, 0) * TL_PACK + jnp.where(valid, ln, 0)
+    bias = jnp.where(valid, jnp.take_along_axis(term1, seg_c, axis=1), 0.0)
+    return tl, bias, jnp.where(valid, seg_c, 0)
+
+
+def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
+                     out_ref, scratch, sems):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nch = pl.num_programs(1)
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(tiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    g = b * nch + j
+    slot = jax.lax.rem(g, DEPTH)
+
+    def start_for(gg):
+        bb = gg // nch
+        jj = jax.lax.rem(gg, nch)
+        tl = tl_smem[bb, jj]
+
+        @pl.when(jax.lax.rem(tl, TL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(gg, DEPTH), tl // TL_PACK).start()
+
+    @pl.when(g == 0)
+    def _():
+        for w in range(DEPTH - 1):
+            @pl.when(w < nb * nch)
+            def _():
+                start_for(jnp.int32(w))
+
+    @pl.when(g + DEPTH - 1 < nb * nch)
+    def _():
+        start_for(g + DEPTH - 1)
+
+    tl = tl_smem[b, j]
+    ln = jax.lax.rem(tl, TL_PACK)
+
+    @pl.when(ln > 0)
+    def _():
+        dma(slot, tl // TL_PACK).wait()
+        idx = scratch[slot].astype(jnp.int32)              # [24, 256]
+        lut = luts_ref[0]                                  # [24, 256]
+        lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+        def half(tab0, tab1, idx_h):
+            idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+            g0 = jnp.take_along_axis(tab0, idxm, axis=1,
+                                     mode="promise_in_bounds")
+            g1 = jnp.take_along_axis(tab1, idxm, axis=1,
+                                     mode="promise_in_bounds")
+            return jnp.where(idx_h < 128, g0, g1)
+
+        gsum = jnp.concatenate(
+            [half(lut0, lut1, idx[:, :128]), half(lut0, lut1, idx[:, 128:])],
+            axis=1)
+        t = jnp.sum(gsum, axis=0, keepdims=True)           # [1, 256]
+
+        # term2 per lane: gather the chunk's probe table by subcentroid id.
+        sidx = jnp.broadcast_to(idx[SUBC_ROW:SUBC_ROW + 1], (8, 256))
+        t2tab = jnp.broadcast_to(t2_ref[0, 0], (8, 256))
+        t2 = half(t2tab[:, :128], t2tab[:, 128:], sidx)[0:1]  # [1, 256]
+
+        dist = t + t2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.where(
+            lane < ln, dist, jnp.inf)[0]
+
+    @pl.when(ln == 0)
+    def _():
+        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.full(
+            (CHUNK,), jnp.inf, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
+                        interpret: bool = False):
+    """term2_tab [B, P, 256] f32 (+inf on pruned/empty/invalid lanes).
+    Returns dists [B, nch*CHUNK]."""
+    B, nch = tl.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nch),
+        in_specs=[
+            pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 256),
+                         lambda b, j, tl_ref, seg_ref: (b, seg_ref[b, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, nch * CHUNK),
+                               lambda b, j, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, LUT_ROWS, CHUNK), jnp.uint8),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _grouping_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, nch * CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(tl, seg, luts_ext, term2_tab, tiles)
+    return out.reshape(B, nch * CHUNK)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "nch", "nsubc", "coarse_block",
+                     "use_opq", "do_pruning", "interpret", "precision"))
+def grouping_pallas_search_core(
+        queries, centroids, centroid_norms, codebooks, norm_centroids, R,
+        tiles, ids_aligned, tile_offsets, nn_idxs, alphas, inter_dists,
+        sub_sizes, max_codes, *, nprobe: int, k: int, nch: int, nsubc: int,
+        coarse_block: int, use_opq: bool, do_pruning: bool,
+        interpret: bool = False, precision=HIGHEST):
+    """Fused grouping search. sub_sizes [nc, nsubc] i32 subgroup sizes;
+    tile_offsets [nc+1] group tile starts."""
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    B = queries.shape[0]
+
+    qc_dists, probes = streaming_topk_l2(
+        queries, centroids, nprobe, block=coarse_block,
+        point_sqnorms=centroid_norms, precision=precision)
+
+    p_nn = nn_idxs[probes]                                # [B, P, S]
+    q_sq = jnp.sum(queries ** 2, axis=1)
+
+    def nn_dist_one_probe(nn_p):
+        cn = centroids[nn_p]
+        ip = jnp.einsum("bsd,bd->bs", cn, queries, precision=precision,
+                        preferred_element_type=jnp.float32)
+        return q_sq[:, None] - 2.0 * ip + centroid_norms[nn_p]
+
+    qn_dists = jnp.moveaxis(
+        jax.lax.map(nn_dist_one_probe, jnp.moveaxis(p_nn, 1, 0)), 0, 1)
+
+    a = alphas[probes]                                    # [B, P]
+    one_m_a = (1.0 - a)[:, :, None]
+    a_b = a[:, :, None]
+    ssz = sub_sizes[probes].astype(jnp.int32)             # [B, P, S]
+    nonempty = ssz > 0
+
+    i_dists = inter_dists[probes]
+    qsd = (one_m_a * qc_dists[:, :, None] + a_b * qn_dists
+           - a_b * one_m_a * i_dists)
+    if do_pruning:
+        g_sizes = jnp.sum(ssz, axis=2)
+        g_cum_before = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             jnp.cumsum(g_sizes, axis=1)[:, :-1]], axis=1)
+        thr_probe = jnp.logical_or(max_codes <= 0,
+                                   g_cum_before < 2 * max_codes)
+        thr_mask = nonempty & thr_probe[:, :, None]
+        n_slots = jnp.maximum(jnp.sum(thr_mask, axis=(1, 2)), 1)
+        threshold = (jnp.sum(jnp.where(thr_mask, qsd, 0.0), axis=(1, 2))
+                     / n_slots)
+        scan_slot = nonempty & (qsd < threshold[:, None, None])
+    else:
+        scan_slot = nonempty
+
+    term1 = one_m_a[:, :, 0] * (qc_dists - centroid_norms[probes])  # [B, P]
+    term2 = a_b * (qn_dists - centroid_norms[p_nn])       # [B, P, S]
+    # Per-(query, probe) lane table: term2 where scanned, +inf where pruned
+    # or empty; lanes >= nsubc unreachable (subc row is always < nsubc).
+    t2_tab = jnp.full((B, nprobe, 256), jnp.inf, jnp.float32)
+    t2_tab = t2_tab.at[:, :, :nsubc].set(
+        jnp.where(scan_slot, term2, jnp.inf))
+
+    eff_sizes = jnp.sum(jnp.where(scan_slot, ssz, 0), axis=2)  # [B, P]
+    scan_sizes = jnp.sum(ssz, axis=2)                          # [B, P]
+    tl, bias, seg = grouping_chunk_metadata(
+        probes, term1, eff_sizes, scan_sizes, tile_offsets, max_codes, nch)
+
+    q_rot = queries @ R.T if use_opq else queries
+    luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
+                              precision=precision)
+
+    dists = grouping_scan_tiles(luts_ext, tl, seg, t2_tab, tiles,
+                                interpret=interpret)
+    dists = (dists.reshape(B, nch, CHUNK)
+             + bias[:, :, None]).reshape(B, nch * CHUNK)
+
+    best, sel = topk_smallest(dists, k)
+    chunk_of = sel // CHUNK
+    within = sel % CHUNK
+    tile_sel = jnp.take_along_axis((tl // TL_PACK), chunk_of, axis=1)
+    labels = ids_aligned[tile_sel * CHUNK + within]
+    labels = jnp.where(jnp.isfinite(best), labels, -1)
+    return best, labels

@@ -24,6 +24,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped so tests are order-independent (a shared mutable RNG
+    # made results depend on which test files ran first).
     return np.random.RandomState(42)

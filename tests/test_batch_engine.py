@@ -34,11 +34,13 @@ def run_batch(idx, queries, params, QB=16, U=None, nch=None):
     mx = idx.store.max_list_size()
     if nch is None:
         nch = U * max(1, -(-mx // bs.CHUNK))
+    c_rank = jnp.asarray(bs.spatial_rank(idx.centroids))
     d, l, ov = bs.batch_search_core(
         jnp.asarray(queries), idx.centroids, idx.centroid_norms,
         idx.pq.codebooks, idx.norm_pq.centroids,
         jnp.zeros((0, 0), jnp.float32), tiled.tiles, tiled.ids_aligned,
-        tiled.tile_offsets, tiled.list_sizes, jnp.int32(params.max_codes),
+        tiled.tile_offsets, tiled.list_sizes, c_rank,
+        jnp.int32(params.max_codes),
         nprobe=nprobe, k=params.k, QB=QB, U=U, nch=nch, coarse_block=64,
         use_opq=False, interpret=True)
     return np.asarray(d), np.asarray(l), np.asarray(ov)
@@ -79,4 +81,6 @@ def test_batch_union_overflow_counted(built):
                            nch=8 * max(1, -(-idx.store.max_list_size()
                                             // bs.CHUNK)))
     assert ov.sum() > 0
-    assert np.isfinite(d2[:, 0]).all()
+    # Overflow drops lists; queries whose probes all fell outside the kept
+    # union legitimately return +inf, but most queries must still resolve.
+    assert np.isfinite(d2[:, 0]).mean() > 0.5

@@ -1,0 +1,79 @@
+"""The fused grouping kernel (interpret mode) must match the XLA grouping
+engine — which is itself oracle-verified in test_grouping.py."""
+
+import jax
+import numpy as np
+import pytest
+
+from ivfhnsw_tpu import IVFADCGroupingIndex, IndexConfig, SearchParams
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.RandomState(13)
+    nb, d = 8000, 32
+    centers = rng.randn(40, d).astype(np.float32) * 5
+    base = centers[rng.randint(0, 40, nb)] + rng.randn(nb, d).astype(np.float32)
+    queries = centers[rng.randint(0, 40, 20)] + rng.randn(20, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=32, code_size=8, nsubc=8)
+    idx = IVFADCGroupingIndex(cfg)
+    key = jax.random.PRNGKey(0)
+    idx.train_centroids(key, base[:4000], niter=10)
+    idx.compute_neighbor_centroids()
+    idx.train_pq(key, base[:3000])
+    idx.add(base, np.arange(nb, dtype=np.int32))
+    idx.finalize()
+    return idx, queries
+
+
+def both(idx, queries, params):
+    idx.engine = "xla"
+    d1, l1 = idx.search(queries, params)
+    idx.engine = "pallas_interpret"
+    d2, l2 = idx.search(queries, params)
+    idx.engine = "auto"
+    return d1, l1, d2, l2
+
+
+def assert_same(d1, l1, d2, l2):
+    np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-3)
+    mism = l1 != l2
+    if mism.any():
+        assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
+
+
+def test_grouping_pallas_unlimited(built):
+    idx, queries = built
+    assert_same(*both(idx, queries, SearchParams(k=10, nprobe=6,
+                                                 max_codes=0)))
+
+
+def test_grouping_pallas_pruning(built):
+    idx, queries = built
+    assert_same(*both(idx, queries,
+                      SearchParams(k=10, nprobe=8, max_codes=600,
+                                   do_pruning=True)))
+
+
+def test_grouping_pallas_budget(built):
+    idx, queries = built
+    assert_same(*both(idx, queries, SearchParams(k=10, nprobe=8,
+                                                 max_codes=400)))
+
+
+def test_grouped_tile_layout(built):
+    idx, _ = built
+    from ivfhnsw_tpu.models.storage import SUBC_ROW, NORM_ROW
+    store = idx.store
+    tiled = store.tiled_grouped(idx.nsubc)
+    off = np.asarray(store.list_offsets)
+    sub_sizes = (off[1:] - off[:-1]).reshape(idx.nc, idx.nsubc)
+    np.testing.assert_array_equal(np.asarray(tiled.list_sizes),
+                                  sub_sizes.sum(1))
+    tiles = np.asarray(tiled.tiles)
+    # First group's first positions carry ascending subc ids per layout.
+    g = int(np.argmax(sub_sizes.sum(1) > 0))
+    t0 = int(np.asarray(tiled.tile_offsets)[g])
+    expected_subc = np.repeat(np.arange(idx.nsubc), sub_sizes[g])[:16]
+    np.testing.assert_array_equal(tiles[t0, SUBC_ROW, :len(expected_subc)],
+                                  expected_subc)
