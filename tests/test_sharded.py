@@ -55,3 +55,38 @@ def test_sharded_rejects_bad_partition(built):
     mesh = make_mesh(3)  # 64 % 3 != 0
     with pytest.raises(ValueError):
         ShardedIVFADC(idx, mesh)
+
+
+@pytest.fixture(scope="module")
+def built_grouping():
+    import jax as _jax
+    from ivfhnsw_tpu import IVFADCGroupingIndex
+    rng = np.random.RandomState(6)
+    nb, d = 10000, 32
+    centers = rng.randn(40, d).astype(np.float32) * 5
+    base = centers[rng.randint(0, 40, nb)] + rng.randn(nb, d).astype(np.float32)
+    queries = centers[rng.randint(0, 40, 24)] + rng.randn(24, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=32, code_size=8, nsubc=4)
+    idx = IVFADCGroupingIndex(cfg)
+    key = _jax.random.PRNGKey(0)
+    idx.train_centroids(key, base[:4000], niter=10)
+    idx.compute_neighbor_centroids()
+    idx.train_pq(key, base[:3000])
+    idx.add(base, np.arange(nb, dtype=np.int32))
+    idx.finalize()
+    return idx, queries
+
+
+@pytest.mark.parametrize("ndev,pruning", [(4, False), (8, True)])
+def test_sharded_grouping_matches_single_chip(built_grouping, ndev, pruning):
+    from ivfhnsw_tpu.parallel.sharded_grouping import ShardedGrouping
+    idx, queries = built_grouping
+    idx.engine = "xla"
+    p = SearchParams(k=10, nprobe=8, max_codes=800, do_pruning=pruning)
+    d1, l1 = idx.search(queries, p)
+    sharded = ShardedGrouping(idx, make_mesh(ndev))
+    d2, l2 = sharded.search(queries, p)
+    np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-3)
+    mism = l1 != l2
+    if mism.any():
+        assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
