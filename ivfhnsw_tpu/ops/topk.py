@@ -13,10 +13,15 @@ import jax.numpy as jnp
 
 
 def topk_smallest(x: jax.Array, k: int):
-    """k smallest entries along the last axis, ascending.
+    """k smallest entries along the last axis, ascending. If k exceeds the
+    axis size, the result is padded with +inf values (index 0).
     Returns (values, indices)."""
+    n = x.shape[-1]
+    if k > n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, k - n)]
+        x = jnp.pad(x, pad, constant_values=jnp.inf)
     neg, idx = jax.lax.top_k(-x, k)
-    return -neg, idx
+    return -neg, jnp.minimum(idx, n - 1)
 
 
 def merge_topk(d_a: jax.Array, i_a: jax.Array, d_b: jax.Array, i_b: jax.Array,

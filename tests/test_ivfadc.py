@@ -211,3 +211,19 @@ def test_opq_end_to_end():
     r = recall_at_k(idx.search(queries, SearchParams(k=100, nprobe=16,
                                                      max_codes=0))[1], gt)
     assert r[100] >= 0.85, r
+
+
+def test_orcv_home_roundtrip(built_index, tmp_path):
+    """write2 export -> load_home_dir restores the code/norm content."""
+    from ivfhnsw_tpu.utils.orcv import load_home_dir
+    idx, base, queries, gt = built_index
+    home = str(tmp_path / "orcv_rt")
+    idx.write2(home, n_vecs=idx.store.ntotal)
+    idx2, hdr = load_home_dir(home)
+    assert hdr.n == idx.store.ntotal
+    np.testing.assert_array_equal(np.asarray(idx2.store.codes),
+                                  np.asarray(idx.store.codes))
+    np.testing.assert_array_equal(np.asarray(idx2.store.norm_codes),
+                                  np.asarray(idx.store.norm_codes))
+    np.testing.assert_array_equal(np.asarray(idx2.store.list_offsets),
+                                  np.asarray(idx.store.list_offsets))
