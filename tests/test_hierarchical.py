@@ -1,0 +1,44 @@
+"""Two-level assigner: high agreement with the exact assigner at a fraction
+of the FLOPs."""
+
+import jax
+import numpy as np
+
+from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
+
+
+def test_two_level_assign_accuracy(rng):
+    d, nc, n = 32, 512, 20000
+    centroids = rng.randn(nc, d).astype(np.float32) * 3
+    x = (centroids[rng.randint(0, nc, n)]
+         + rng.randn(n, d).astype(np.float32))
+    tla = TwoLevelAssigner(centroids, w=8, key=jax.random.PRNGKey(0))
+    approx = tla.assign(x)
+    exact = ((x[:, None, :] - centroids[None]) ** 2).sum(-1).argmin(1)
+    agree = (approx == exact).mean()
+    assert agree > 0.98, agree
+
+
+def test_two_level_w_monotone(rng):
+    d, nc, n = 16, 256, 5000
+    centroids = rng.randn(nc, d).astype(np.float32) * 3
+    x = centroids[rng.randint(0, nc, n)] + rng.randn(n, d).astype(np.float32)
+    exact = ((x[:, None, :] - centroids[None]) ** 2).sum(-1).argmin(1)
+    rates = []
+    for w in (1, 4, 16):
+        tla = TwoLevelAssigner(centroids, w=w, key=jax.random.PRNGKey(1))
+        rates.append((tla.assign(x) == exact).mean())
+    assert rates[-1] >= rates[0] - 1e-9
+    assert rates[-1] > 0.99
+
+
+def test_index_fast_assign_integration(rng):
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    import jax as _jax
+    base = rng.randn(6000, 16).astype(np.float32)
+    idx = IVFADCIndex(IndexConfig(d=16, nc=128, code_size=4))
+    idx.train_centroids(_jax.random.PRNGKey(0), base[:4000], niter=8)
+    exact = idx.assign(base[:2000])
+    idx.enable_fast_assign(w=8)
+    fast = idx.assign(base[:2000])
+    assert (exact == fast).mean() > 0.97
