@@ -45,6 +45,10 @@ TL_PACK = 512
 DEC_ROWS = 136   # 128 codebook-dim rows + norm row (128) + 7 pad
 NORM_DEC_ROW = 128
 DEPTH = 4
+GROUP_CHUNKS = 16  # chunks per revisited out block (flush every 16 steps —
+                   # per-step out-block flushing is the prime suspect in the
+                   # at-scale device wedge; this matches the proven
+                   # adc_scan revisit pattern with a bounded VMEM block)
 
 
 def decode_tables(codebooks, norm_centroids):
@@ -140,11 +144,15 @@ def _make_batch_kernel(dsub: int):
             partial = jnp.dot(q, dec_scratch[:],
                               preferred_element_type=jnp.float32)  # [QB, 256]
             lane = jax.lax.broadcasted_iota(jnp.int32, partial.shape, 1)
-            out_ref[0] = jnp.where(lane < ln, partial, jnp.inf)
+            jg = jax.lax.rem(j, GROUP_CHUNKS)
+            out_ref[0, :, pl.ds(jg * CHUNK, CHUNK)] = jnp.where(
+                lane < ln, partial, jnp.inf)
 
         @pl.when(ln == 0)
         def _():
-            out_ref[0] = jnp.full(out_ref.shape[1:], jnp.inf, jnp.float32)
+            jg = jax.lax.rem(j, GROUP_CHUNKS)
+            out_ref[0, :, pl.ds(jg * CHUNK, CHUNK)] = jnp.full(
+                (out_ref.shape[1], CHUNK), jnp.inf, jnp.float32)
 
     return _batch_kernel
 
@@ -157,6 +165,9 @@ def batch_scan(q_ext, chunk_tl, tables, tiles, dsub: int = 8,
     Returns partial dists [NBLK, QB, nch, CHUNK] (no bias, +inf masked)."""
     NBLK, QB, _ = q_ext.shape
     _, nch = chunk_tl.shape
+    if nch % GROUP_CHUNKS != 0:
+        raise ValueError(f"nch={nch} must be a multiple of {GROUP_CHUNKS}")
+    ngroups = nch // GROUP_CHUNKS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NBLK, nch),
@@ -166,9 +177,13 @@ def batch_scan(q_ext, chunk_tl, tables, tiles, dsub: int = 8,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tables, whole
             pl.BlockSpec(memory_space=pl.ANY),      # tiles in HBM
         ],
-        out_specs=pl.BlockSpec((1, QB, CHUNK),
-                               lambda b, j, *_: (b * nch + j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        # Revisited block spanning GROUP_CHUNKS chunks: flushed only when
+        # the group index advances.
+        out_specs=pl.BlockSpec(
+            (1, QB, GROUP_CHUNKS * CHUNK),
+            lambda b, j, *_: (b * (nch // GROUP_CHUNKS) + j // GROUP_CHUNKS,
+                              0, 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((DEPTH, 24, CHUNK), jnp.uint8),
             pltpu.VMEM((DEC_ROWS, CHUNK), jnp.float32),
@@ -178,12 +193,14 @@ def batch_scan(q_ext, chunk_tl, tables, tiles, dsub: int = 8,
     out = pl.pallas_call(
         _make_batch_kernel(dsub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NBLK * nch, QB, CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (NBLK * ngroups, QB, GROUP_CHUNKS * CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(chunk_tl, q_ext, tables, tiles)
-    return out.reshape(NBLK, nch, QB, CHUNK).transpose(0, 2, 1, 3)
+    out = out.reshape(NBLK, ngroups, QB, GROUP_CHUNKS * CHUNK)
+    return jnp.moveaxis(out, 2, 1).reshape(NBLK, QB, nch, CHUNK)
 
 
 @functools.partial(jax.jit, static_argnames=("U", "nch"))
@@ -303,6 +320,7 @@ def batch_search_core(queries, centroids, centroid_norms, codebooks,
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
     B, d = queries.shape
     NBLK = B // QB
+    nch = -(-nch // GROUP_CHUNKS) * GROUP_CHUNKS
 
     qc_dists, probes = streaming_topk_l2(
         queries, centroids, nprobe, block=coarse_block,
