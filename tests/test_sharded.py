@@ -90,3 +90,16 @@ def test_sharded_grouping_matches_single_chip(built_grouping, ndev, pruning):
     mism = l1 != l2
     if mism.any():
         assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_pallas_engine_matches(built):
+    """Shard-local Pallas tiled scan (interpret) == XLA shard scan."""
+    idx, queries = built
+    sharded = ShardedIVFADC(idx, make_mesh(4))
+    p = SearchParams(k=10, nprobe=8, max_codes=500)
+    d1, l1 = sharded.search(queries, p, engine="xla")
+    d2, l2 = sharded.search(queries, p, engine="pallas_interpret")
+    np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-3)
+    mism = l1 != l2
+    if mism.any():
+        assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
