@@ -1,0 +1,140 @@
+"""Staged TPU validation runner.
+
+Runs each validation stage in its OWN subprocess with a timeout, with a
+device health check between stages — a bad Pallas kernel can wedge the
+remote TPU runtime for ~20+ minutes, so stages escalate from known-good to
+experimental and the runner stops at the first wedge instead of burning the
+device repeatedly.
+
+Usage: python tools/tpu_validate.py [stage ...]
+Stages: health pallas grouping batch bench   (default: all, in that order)
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+HEALTH = """
+import jax, jax.numpy as jnp
+print('health ok:', float(jnp.sum(jnp.ones((10,10)))))
+"""
+
+PALLAS_SMALL = """
+import numpy as np, jax
+from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
+rng = np.random.RandomState(9)
+base = rng.randn(9000, 32).astype(np.float32)
+queries = rng.randn(24, 32).astype(np.float32)
+idx = IVFADCIndex(IndexConfig(d=32, nc=64, code_size=8))
+key = jax.random.PRNGKey(0)
+idx.train_centroids(key, base[:4000], niter=8)
+idx.train_pq(key, base[:4000], pq_niter=8)
+idx.add_batch(base); idx.finalize()
+p = SearchParams(k=10, nprobe=8, max_codes=0)
+idx.engine = "xla"; d1, l1 = idx.search(queries, p)
+idx.engine = "pallas"; d2, l2 = idx.search(queries, p)
+assert np.allclose(d1, d2, rtol=1e-4, atol=1e-2), "pallas mismatch"
+print("pallas per-query kernel OK, label agreement", float((l1==l2).mean()))
+"""
+
+GROUPING = """
+import numpy as np, jax
+from ivfhnsw_tpu import IVFADCGroupingIndex, IndexConfig, SearchParams
+rng = np.random.RandomState(3)
+nb, d = 20000, 32
+centers = rng.randn(50, d).astype(np.float32) * 5
+base = centers[rng.randint(0, 50, nb)] + rng.randn(nb, d).astype(np.float32)
+queries = centers[rng.randint(0, 50, 64)] + rng.randn(64, d).astype(np.float32)
+idx = IVFADCGroupingIndex(IndexConfig(d=d, nc=64, code_size=8, nsubc=16))
+key = jax.random.PRNGKey(0)
+idx.train_centroids(key, base[:6000], niter=8)
+idx.compute_neighbor_centroids()
+idx.train_pq(key, base[:4000])
+idx.add(base); idx.finalize()
+for prune in (False, True):
+    p = SearchParams(k=10, nprobe=8, max_codes=2000, do_pruning=prune)
+    idx.engine = "xla"; d1, l1 = idx.search(queries, p)
+    idx.engine = "pallas"; d2, l2 = idx.search(queries, p)
+    assert np.allclose(d1, d2, rtol=1e-4, atol=1e-2), f"grouping mismatch prune={prune}"
+    print(f"grouping kernel OK (pruning={prune})")
+"""
+
+BATCH = """
+import time
+import numpy as np, jax, jax.numpy as jnp
+from ivfhnsw_tpu.ops.pallas import batch_scan as bs
+rng = np.random.RandomState(0)
+# escalate within ONE process; a wedge kills this stage only
+for (NBLK, QB, nch, NT) in [(2, 64, 16, 64), (8, 64, 64, 1000),
+                            (32, 64, 288, 9000)]:
+    q_ext = jnp.asarray(rng.randn(NBLK, QB, bs.DEC_ROWS).astype(np.float32))
+    lens = (rng.rand(NBLK, nch) < 0.6) * 256
+    tl = jnp.asarray((rng.randint(0, NT, (NBLK, nch)) * bs.TL_PACK + lens).astype(np.int32))
+    tables = jnp.asarray(rng.randn(bs.DEC_ROWS, 256).astype(np.float32))
+    tiles = jnp.asarray(rng.randint(0, 256, (NT, 24, 256)).astype(np.uint8))
+    t0 = time.time()
+    out = bs.batch_scan(q_ext, tl, tables, tiles)
+    jax.block_until_ready(out)
+    s = float(jnp.sum(jnp.where(jnp.isfinite(out), out, 0)))
+    h = float(jnp.sum(jnp.ones((8, 8))))
+    print(f"batch_scan NBLK={NBLK} nch={nch} NT={NT}: {time.time()-t0:.2f}s sum={s:.3e} health={h}", flush=True)
+print("batch kernel survived all scales")
+"""
+
+STAGES = {
+    "health": (HEALTH, 60),
+    "pallas": (PALLAS_SMALL, 420),
+    "grouping": (GROUPING, 420),
+    "batch": (BATCH, 420),
+}
+
+
+def run_stage(name: str) -> bool:
+    if name == "bench":
+        cmd = [sys.executable, "bench.py"]
+        timeout = 600
+    else:
+        code, timeout = STAGES[name]
+        cmd = [sys.executable, "-c", code]
+    print(f"===== stage: {name} =====", flush=True)
+    try:
+        r = subprocess.run(cmd, timeout=timeout, capture_output=True,
+                           text=True)
+    except subprocess.TimeoutExpired:
+        print(f"stage {name}: TIMEOUT (likely device wedge) — stopping")
+        return False
+    out = (r.stdout + r.stderr)
+    for line in out.splitlines():
+        if "WARNING" not in line:
+            print(" ", line)
+    if r.returncode != 0:
+        print(f"stage {name}: FAILED rc={r.returncode} — stopping")
+        return False
+    # inter-stage health gate
+    if name != "health":
+        try:
+            h = subprocess.run([sys.executable, "-c", HEALTH], timeout=60,
+                               capture_output=True, text=True)
+            if h.returncode != 0:
+                print(f"DEVICE WEDGED after stage {name} — stopping")
+                return False
+        except subprocess.TimeoutExpired:
+            print(f"DEVICE WEDGED after stage {name} — stopping")
+            return False
+    return True
+
+
+def main():
+    stages = sys.argv[1:] or ["health", "pallas", "grouping", "batch",
+                              "bench"]
+    t0 = time.time()
+    for s in stages:
+        if not run_stage(s):
+            sys.exit(1)
+    print(f"ALL STAGES PASSED in {time.time()-t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
