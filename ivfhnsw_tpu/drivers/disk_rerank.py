@@ -9,7 +9,6 @@ tiebreak (utils.cpp:193-202).
 
 from __future__ import annotations
 
-import numpy as np
 
 from ivfhnsw_tpu.drivers import common as C
 from ivfhnsw_tpu.drivers.grouping_eval import build

@@ -34,7 +34,6 @@ TPU re-architecture:
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
@@ -44,7 +43,6 @@ import numpy as np
 from ivfhnsw_tpu.ops import adc as adc_ops
 from ivfhnsw_tpu.ops import opq as opq_ops
 from ivfhnsw_tpu.ops.distances import streaming_topk_l2
-from ivfhnsw_tpu.ops.topk import topk_smallest
 from ivfhnsw_tpu.models.ivfadc import IVFADCIndex, _round_up
 from ivfhnsw_tpu.models.storage import PostingListBuilder, store_from_lists
 from ivfhnsw_tpu.utils import io

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ivfhnsw_tpu.ops.kmeans import kmeans_batched
-from ivfhnsw_tpu.utils import io
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ivfhnsw_tpu.ops.distances import assign_top1
 from ivfhnsw_tpu.parallel.mesh import SHARD_AXIS

@@ -27,7 +27,6 @@ order) — asserted in tests/test_sharded.py.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -289,7 +288,6 @@ class ShardedIVFADC:
             return self._tiled
         from ivfhnsw_tpu.models.storage import (CHUNK, TILE_ROWS,
                                                 PostingListStore)
-        import jax.numpy as _jnp
         s_codes, s_ids, s_ncodes, s_off = self._np_shards
         D = s_codes.shape[0]
         shards = []
