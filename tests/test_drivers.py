@@ -77,3 +77,26 @@ def test_config_json_roundtrip(tmp_path):
     cfg2 = RunConfig.from_json(text)
     assert cfg2.index.nc == cfg.index.nc
     assert cfg2.search.max_codes == cfg.search.max_codes
+
+
+def test_example_script_smoke(tmp_path):
+    """The examples/*.sh launcher surface works end-to-end (synthetic
+    override, tiny sizes)."""
+    import os
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        ["bash", "examples/run_sift1b.sh",
+         "-synthetic", "0", "-d", "16", "-nc", "32", "-nb", "6000",
+         "-nt", "3000", "-nq", "50", "-code_size", "4", "-nprobe", "8",
+         "-max_codes", "500", "-k", "10",
+         "-path_base", "", "-path_learn", "", "-path_q", "", "-path_gt", "",
+         "-path_centroids", str(tmp_path / "c.fvecs"),
+         "-path_precomputed_idxs", str(tmp_path / "i.ivecs"),
+         "-path_pq", str(tmp_path / "q.pq"),
+         "-path_norm_pq", str(tmp_path / "n.pq"),
+         "-path_index", str(tmp_path / "x.index")],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Recall@" in r.stdout
