@@ -125,9 +125,14 @@ def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
         t = jnp.sum(gsum, axis=0, keepdims=True)           # [1, 256]
 
         # term2 per lane: gather the chunk's probe table by subcentroid id.
-        sidx = jnp.broadcast_to(idx[SUBC_ROW:SUBC_ROW + 1], (8, 256))
-        t2tab = jnp.broadcast_to(t2_ref[0, 0], (8, 256))
-        t2 = half(t2tab[:, :128], t2tab[:, 128:], sidx)[0:1]  # [1, 256]
+        # Mosaic rejects gathers whose index derives from a row-slice of the
+        # dynamically-indexed scratch read, so gather with the FULL 24-row
+        # idx against a row-replicated table and extract the subc row.
+        t2tab = pltpu.repeat(t2_ref[0], LUT_ROWS, axis=0)     # [24, 256]
+        t2g = half(t2tab[:, :128], t2tab[:, 128:], idx[:, :128])
+        t2g2 = half(t2tab[:, :128], t2tab[:, 128:], idx[:, 128:])
+        t2 = jnp.concatenate([t2g, t2g2],
+                             axis=1)[SUBC_ROW:SUBC_ROW + 1]   # [1, 256]
 
         dist = t + t2
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -146,6 +151,11 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
     """term2_tab [B, P, 256] f32 (+inf on pruned/empty/invalid lanes).
     Returns dists [B, nch*CHUNK]."""
     B, nch = tl.shape
+    P = term2_tab.shape[1]
+    # Flatten to [B*P, 1, 256] so the (1, 256) block equals the trailing
+    # array dims (Mosaic's block-shape rule), indexed via the
+    # scalar-prefetched chunk->probe mapping.
+    term2_tab = term2_tab.reshape(B * P, 1, 256)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nch),
@@ -153,7 +163,8 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
             pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 256),
-                         lambda b, j, tl_ref, seg_ref: (b, seg_ref[b, j], 0),
+                         lambda b, j, tl_ref, seg_ref:
+                         (b * P + seg_ref[b, j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -112,17 +112,21 @@ def run_stage(name: str) -> bool:
     if r.returncode != 0:
         print(f"stage {name}: FAILED rc={r.returncode} — stopping")
         return False
-    # inter-stage health gate
+    # inter-stage health gate (device claim handover right after a heavy
+    # process exits can take a while — retry once with a longer window).
     if name != "health":
-        try:
-            h = subprocess.run([sys.executable, "-c", HEALTH], timeout=60,
-                               capture_output=True, text=True)
-            if h.returncode != 0:
-                print(f"DEVICE WEDGED after stage {name} — stopping")
-                return False
-        except subprocess.TimeoutExpired:
-            print(f"DEVICE WEDGED after stage {name} — stopping")
-            return False
+        for attempt, t in ((0, 90), (1, 240)):
+            try:
+                h = subprocess.run([sys.executable, "-c", HEALTH],
+                                   timeout=t, capture_output=True, text=True)
+                if h.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"health gate attempt {attempt} failed after {name}; "
+                  f"{'retrying' if attempt == 0 else 'stopping'}")
+        print(f"DEVICE WEDGED after stage {name} — stopping")
+        return False
     return True
 
 
