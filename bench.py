@@ -53,19 +53,24 @@ def make_data():
     return base, queries, learn
 
 
-def device_healthy(timeout_s: int = 90) -> bool:
+def device_healthy() -> bool:
     """The axon-tunneled TPU can wedge (any device op hangs indefinitely);
-    probe it in a subprocess so the bench fails fast instead of hanging."""
+    probe it in a subprocess so the bench fails fast instead of hanging.
+    Two attempts — device-claim handover right after another process exits
+    can stall the first probe spuriously."""
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.sum(jnp.ones((8, 8)))))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for timeout_s in (90, 240):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((8, 8)))))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():

@@ -349,13 +349,16 @@ class IVFADCIndex:
             self._c_rank = jnp.asarray(bs.spatial_rank(self.centroids))
         QB = self.batch_qb
         U = self.batch_u or min(4 * nprobe, self.nc)
-        mx = store.max_list_size()
         if self.batch_nch is not None:
             nch = self.batch_nch
-        elif params.max_codes and params.max_codes > 0:
-            nch = 4 * (params.max_codes // bs.CHUNK + 1) + U
         else:
-            nch = U * max(1, -(-mx // bs.CHUNK))
+            # Chunk capacity must cover the union's demand: U lists of
+            # roughly-average size (+1 alignment chunk each). Unlike the
+            # per-query window, the budget barely bounds this — the union
+            # spans every member's probes.
+            sizes = np.asarray(store.tiled().list_sizes)
+            avg_chunks = max(1.0, float(np.mean(sizes / bs.CHUNK + 1)))
+            nch = int(U * avg_chunks * 1.5)
         B = blk.shape[0]
         pad = (-B) % QB
         if pad:
@@ -373,24 +376,33 @@ class IVFADCIndex:
                                         + int(np.asarray(ov).sum()))
         return d[:B], l[:B]
 
-    def _search_pallas(self, blk, params: SearchParams, nprobe: int,
-                       interpret: bool):
-        """Fused-kernel search path (ops.pallas.adc_scan), one XLA launch."""
+    def _pallas_nch(self, params: SearchParams, nprobe: int) -> int:
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         store = self._ensure_store()
-        tiled = store.tiled()
         mx = store.max_list_size()
         if params.max_codes and params.max_codes > 0:
             nch = (params.max_codes + mx) // pk.CHUNK + nprobe + 1
         else:
             nch = nprobe * max(1, (mx + pk.CHUNK - 1) // pk.CHUNK)
+        return max(nch, 1)
+
+    def _pallas_args(self):
+        tiled = self._ensure_store().tiled()
+        return (self.centroids, self.centroid_norms, self.pq.codebooks,
+                self.norm_pq.centroids,
+                self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
+                tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
+                tiled.list_sizes)
+
+    def _search_pallas(self, blk, params: SearchParams, nprobe: int,
+                       interpret: bool):
+        """Fused-kernel search path (ops.pallas.adc_scan), one XLA launch."""
+        from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         return pk.pallas_search_core(
-            jnp.asarray(blk), self.centroids, self.centroid_norms,
-            self.pq.codebooks, self.norm_pq.centroids,
-            self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
-            tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
-            tiled.list_sizes, jnp.int32(params.max_codes),
-            nprobe=nprobe, k=params.k, nch=max(nch, 1),
+            jnp.asarray(blk), *self._pallas_args(),
+            jnp.int32(params.max_codes),
+            nprobe=nprobe, k=params.k,
+            nch=self._pallas_nch(params, nprobe),
             coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
             use_opq=self.do_opq, interpret=interpret)
 
@@ -416,6 +428,24 @@ class IVFADCIndex:
             # Scalar-prefetch chunk metadata lives in 1MB SMEM:
             # batch x nch x 4B (packed tile+len) must fit with headroom.
             batch = min(batch, 1024)
+
+        # Mega-batch fast path: the whole query set in one launch (per-launch
+        # dispatch through the remote tunnel costs ~ms).
+        if engine == "pallas" and nq >= 2 * batch:
+            from ivfhnsw_tpu.ops.pallas import adc_scan as pk
+            G = -(-nq // batch)
+            qpad = np.zeros((G * batch, queries.shape[1]), np.float32)
+            qpad[:nq] = queries
+            d, l = pk.pallas_search_many(
+                jnp.asarray(qpad.reshape(G, batch, -1)), *self._pallas_args(),
+                jnp.int32(params.max_codes),
+                nprobe=nprobe, k=params.k,
+                nch=self._pallas_nch(params, nprobe),
+                coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+                use_opq=self.do_opq)
+            self.stats["queries"] += nq
+            return (np.asarray(d).reshape(-1, params.k)[:nq],
+                    np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))
 
         results = []
         traces = [] if trace else None

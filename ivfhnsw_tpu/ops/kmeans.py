@@ -101,7 +101,9 @@ def kmeans(key, data, k: int, niter: int = 25, block_c: int = 16384,
     # random init like faiss.
     k_init, key = jax.random.split(key)
     if k <= 4096:
-        sub_n = min(n, max(4 * k, 16384))
+        # >= 32 samples per cluster: a thin subsample seeds k-means++ poorly
+        # and leaves badly skewed cluster sizes.
+        sub_n = min(n, max(32 * k, 16384))
         sub = data[np.random.RandomState(0).permutation(n)[:sub_n]]
         centroids = kmeanspp_init(k_init, jnp.asarray(sub), k,
                                   precision=precision)

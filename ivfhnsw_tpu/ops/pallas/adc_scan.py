@@ -237,6 +237,30 @@ def adc_search_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
                      "interpret", "precision"))
+def pallas_search_many(queries, centroids, centroid_norms, codebooks,
+                       norm_centroids, R, tiles, ids_aligned, tile_offsets,
+                       list_sizes, max_codes, *, nprobe: int, k: int,
+                       nch: int, coarse_block: int, use_opq: bool,
+                       interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Whole-query-set search in ONE launch: queries [G, B, d] are processed
+    by lax.map over G sub-batches of the fused core. Remote-tunnel dispatch
+    costs ~ms per launch, so one mega-launch at 8k+ queries is worth
+    ~2x end-to-end QPS over per-sub-batch launches."""
+    def one(q):
+        return pallas_search_core(
+            q, centroids, centroid_norms, codebooks, norm_centroids, R,
+            tiles, ids_aligned, tile_offsets, list_sizes, max_codes,
+            nprobe=nprobe, k=k, nch=nch, coarse_block=coarse_block,
+            use_opq=use_opq, interpret=interpret, precision=precision)
+
+    return jax.lax.map(one, queries)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
+                     "interpret", "precision"))
 def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,

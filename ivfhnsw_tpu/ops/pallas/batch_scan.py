@@ -142,7 +142,8 @@ def _make_batch_kernel(dsub: int):
             dec_scratch[:] = dec
             q = q_ref[0]                                       # [QB, 136]
             partial = jnp.dot(q, dec_scratch[:],
-                              preferred_element_type=jnp.float32)  # [QB, 256]
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
             lane = jax.lax.broadcasted_iota(jnp.int32, partial.shape, 1)
             jg = jax.lax.rem(j, GROUP_CHUNKS)
             out_ref[0, :, pl.ds(jg * CHUNK, CHUNK)] = jnp.where(
