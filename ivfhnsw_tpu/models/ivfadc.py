@@ -494,6 +494,19 @@ class IVFADCIndex:
                                   "included": inc, "n_scanned": nsc}
         return out_d, out_l
 
+    def search_device(self, queries_dev, params: SearchParams):
+        """Serving fast path: queries already on device as [G, B, d] (see
+        pallas_search_many); returns device arrays (dists [G, B, k],
+        labels [G, B, k]). No host transfers — the caller owns staging."""
+        from ivfhnsw_tpu.ops.pallas import adc_scan as pk
+        nprobe = min(params.nprobe, self.nc)
+        return pk.pallas_search_many(
+            queries_dev, *self._pallas_args(), jnp.int32(params.max_codes),
+            nprobe=nprobe, k=params.k,
+            nch=self._pallas_nch(params, nprobe),
+            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+            use_opq=self.do_opq)
+
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):
         """search2 equivalent (IndexIVF_HNSW.h:178): search with externally
