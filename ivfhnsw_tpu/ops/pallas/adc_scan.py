@@ -43,7 +43,8 @@ from ivfhnsw_tpu.ops.topk import topk_smallest
 CHUNK = 256
 LUT_ROWS = 24  # 16 PQ subquantizers + 1 norm row + 7 pad rows
 NORM_ROW = 16  # row index of the norm-decode table
-DEPTH = 4      # DMA pipeline depth (scratch slots)
+CPS = 4        # chunks processed per grid step (amortizes fixed step costs)
+DEPTH = 12     # DMA pipeline slots; must exceed 2*CPS for safe slot reuse
 TL_PACK = 512  # packed metadata: value = tile_idx * TL_PACK + chunk_len;
                # bounds per-shard tiles to 2^31/512 = 4.2M (1.07B codes)
 
@@ -107,71 +108,79 @@ def chunk_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
 
 def _adc_kernel(tl_smem,   # scalar prefetch: packed tile*TL_PACK + len
                 luts_ref, tiles_hbm, out_ref, scratch, sems):
+    """Each grid step processes CPS chunks (amortizing per-step fixed costs)
+    with a DEPTH-slot rolling DMA pipeline: warm-up issues the first
+    DEPTH-CPS chunk DMAs; each step issues the CPS chunks that keep the
+    window full, then waits/computes its own CPS chunks. Slot reuse distance
+    is DEPTH > 2*CPS, so a newly issued DMA never lands in a slot that is
+    still in flight. Zero-length (padding) chunks issue no DMA and write
+    +inf lanes, so only real chunks consume bandwidth."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
-    nch = pl.num_programs(1)
+    nsteps = pl.num_programs(1)
+    nch = nsteps * CPS
 
     def dma(slot, t):
         return pltpu.make_async_copy(tiles_hbm.at[t], scratch.at[slot],
                                      sems.at[slot])
 
-    # DEPTH-deep rolling DMA pipeline on global-step index: each step issues
-    # the DMA for step g+DEPTH-1 (warm-up issues the first DEPTH-1), waits on
-    # its own slot. Zero-length (padding) chunks issue no DMA and just write
-    # +inf, so only real chunks consume bandwidth.
-    g = b * nch + j
-    slot = jax.lax.rem(g, DEPTH)
-
     def start_for(gg):
+        # gg = global chunk index (b * nch + c).
         bb = gg // nch
-        jj = jax.lax.rem(gg, nch)
-        tl = tl_smem[bb, jj]
+        cc = jax.lax.rem(gg, nch)
+        tl = tl_smem[bb, cc]
 
         @pl.when(jax.lax.rem(tl, TL_PACK) > 0)
         def _():
             dma(jax.lax.rem(gg, DEPTH), tl // TL_PACK).start()
 
-    @pl.when(g == 0)
+    g0 = b * nch + j * CPS
+
+    @pl.when(g0 == 0)
     def _():
-        for w in range(DEPTH - 1):
+        for w in range(DEPTH - CPS):
             @pl.when(w < nb * nch)
             def _():
                 start_for(jnp.int32(w))
 
-    @pl.when(g + DEPTH - 1 < nb * nch)
-    def _():
-        start_for(g + DEPTH - 1)
+    for i in range(CPS):
+        @pl.when(g0 + DEPTH - CPS + i < nb * nch)
+        def _():
+            start_for(g0 + DEPTH - CPS + i)
 
-    tl = tl_smem[b, j]
-    ln = jax.lax.rem(tl, TL_PACK)
+    lut = luts_ref[0]                                      # [24, 256]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
 
-    @pl.when(ln > 0)
-    def _():
-        dma(slot, tl // TL_PACK).wait()
-        idx = scratch[slot].astype(jnp.int32)              # [24, 256]
-        lut = luts_ref[0]                                  # [24, 256]
-        lut0, lut1 = lut[:, :128], lut[:, 128:]
+    def half(idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(lut0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(lut1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
 
-        def half(idx_h):
-            idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
-            g0 = jnp.take_along_axis(lut0, idxm, axis=1,
-                                     mode="promise_in_bounds")
-            g1 = jnp.take_along_axis(lut1, idxm, axis=1,
-                                     mode="promise_in_bounds")
-            return jnp.where(idx_h < 128, g0, g1)
+    for i in range(CPS):
+        c = j * CPS + i
+        g = g0 + i
+        tl = tl_smem[b, c]
+        ln = jax.lax.rem(tl, TL_PACK)
 
-        gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
-                             axis=1)
-        t = jnp.sum(gg, axis=0, keepdims=True)             # [1, 256]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.where(
-            lane < ln, t, jnp.inf)[0]
+        @pl.when(ln > 0)
+        def _():
+            dma(jax.lax.rem(g, DEPTH), tl // TL_PACK).wait()
+            idx = scratch[jax.lax.rem(g, DEPTH)].astype(jnp.int32)
+            gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
+                                 axis=1)
+            t = jnp.sum(gg, axis=0, keepdims=True)         # [1, 256]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.where(
+                lane < ln, t, jnp.inf)[0]
 
-    @pl.when(ln == 0)
-    def _():
-        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.full(
-            (CHUNK,), jnp.inf, jnp.float32)
+        @pl.when(ln == 0)
+        def _():
+            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.full(
+                (CHUNK,), jnp.inf, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -184,10 +193,16 @@ def adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
     free in XLA and keeps SMEM usage to one packed i32 array — SMEM is 1 MB).
     """
     B, nch = chunk_tile.shape
+    if nch % CPS:
+        pad = CPS - nch % CPS
+        chunk_tile = jnp.pad(chunk_tile, ((0, 0), (0, pad)))
+        chunk_len = jnp.pad(chunk_len, ((0, 0), (0, pad)))
+        chunk_bias = jnp.pad(chunk_bias, ((0, 0), (0, pad)))
+        nch += pad
     tl = chunk_tile * TL_PACK + chunk_len
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, nch),
+        grid=(B, nch // CPS),
         in_specs=[
             pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
