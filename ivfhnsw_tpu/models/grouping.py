@@ -438,9 +438,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
                                                    self.nc):].sum())
         return _round_up(max(budget, 128), 128)
 
-    def _search_pallas_grouping(self, blk, params: SearchParams, nprobe: int,
-                                interpret: bool):
-        """Fused grouping kernel (ops.pallas.grouping_scan)."""
+    def _grouping_pallas_setup(self, params: SearchParams, nprobe: int):
         from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
         store = self._ensure_store()
         tiled = store.tiled_grouped(self.nsubc)
@@ -454,17 +452,27 @@ class IVFADCGroupingIndex(IVFADCIndex):
             nch = (params.max_codes + mx) // gs.CHUNK + nprobe + 1
         else:
             nch = nprobe * max(1, -(-mx // gs.CHUNK))
+        args = (self.centroids, self.centroid_norms, self.pq.codebooks,
+                self.norm_pq.centroids,
+                self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
+                tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
+                self.nn_centroid_idxs, self.alphas,
+                self.inter_centroid_dists, sub_sizes)
+        kw = dict(nprobe=nprobe, k=params.k, nch=max(nch, 1),
+                  nsubc=self.nsubc,
+                  coarse_block=min(self.coarse_block,
+                                   _round_up(self.nc, 128)),
+                  use_opq=self.do_opq, do_pruning=params.do_pruning)
+        return args, kw
+
+    def _search_pallas_grouping(self, blk, params: SearchParams, nprobe: int,
+                                interpret: bool):
+        """Fused grouping kernel (ops.pallas.grouping_scan)."""
+        from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
+        args, kw = self._grouping_pallas_setup(params, nprobe)
         return gs.grouping_pallas_search_core(
-            jnp.asarray(blk), self.centroids, self.centroid_norms,
-            self.pq.codebooks, self.norm_pq.centroids,
-            self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
-            tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
-            self.nn_centroid_idxs, self.alphas, self.inter_centroid_dists,
-            sub_sizes, jnp.int32(params.max_codes),
-            nprobe=nprobe, k=params.k, nch=max(nch, 1), nsubc=self.nsubc,
-            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
-            use_opq=self.do_opq, do_pruning=params.do_pruning,
-            interpret=interpret)
+            jnp.asarray(blk), *args, jnp.int32(params.max_codes),
+            interpret=interpret, **kw)
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 4096, trace: bool = False):
@@ -481,7 +489,22 @@ class IVFADCGroupingIndex(IVFADCIndex):
         if engine == "xla":
             L = self._scan_budget(params)
         else:
-            batch = min(batch, 1024)  # scalar metadata in 1MB SMEM
+            # Two scalar-prefetch arrays (packed tile/len + seg) live in 1MB
+            # SMEM: batch x nch x 8B must fit with headroom.
+            batch = min(batch, 512)
+        # Mega-batch fast path: whole query set in one launch.
+        if engine == "pallas" and nq >= 2 * batch:
+            from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
+            args, kw = self._grouping_pallas_setup(params, nprobe)
+            G = -(-nq // batch)
+            qpad = np.zeros((G * batch, queries.shape[1]), np.float32)
+            qpad[:nq] = queries
+            d, l = gs.grouping_pallas_search_many(
+                jnp.asarray(qpad.reshape(G, batch, -1)), *args,
+                jnp.int32(params.max_codes), **kw)
+            self.stats["queries"] += nq
+            return (np.asarray(d).reshape(-1, params.k)[:nq],
+                    np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))
         out_d = np.empty((nq, params.k), np.float32)
         out_l = np.empty((nq, params.k), np.int64)
         for off in range(0, nq, batch):

@@ -204,7 +204,7 @@ class IVFADCIndex:
         x = np.asarray(x, np.float32)
         if batch is None:
             block = min(self.coarse_block, self.nc)
-            batch = max(1024, min(262144, (1 << 28) // max(block, 1)))
+            batch = max(1024, min(131072, (1 << 26) // max(block, 1)))
         out = np.empty(x.shape[0], np.int32)
         for off in range(0, x.shape[0], batch):
             blk = jnp.asarray(x[off:off + batch])

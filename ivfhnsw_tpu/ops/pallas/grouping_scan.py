@@ -191,6 +191,24 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "nsubc", "coarse_block",
                      "use_opq", "do_pruning", "interpret", "precision"))
+def grouping_pallas_search_many(queries, *args, nprobe, k, nch, nsubc,
+                                coarse_block, use_opq, do_pruning,
+                                interpret=False, precision=HIGHEST):
+    """Whole query set [G, B, d] in one launch (lax.map over sub-batches;
+    see adc_scan.pallas_search_many for why)."""
+    def one(q):
+        return grouping_pallas_search_core(
+            q, *args, nprobe=nprobe, k=k, nch=nch, nsubc=nsubc,
+            coarse_block=coarse_block, use_opq=use_opq,
+            do_pruning=do_pruning, interpret=interpret, precision=precision)
+
+    return jax.lax.map(one, queries)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "nch", "nsubc", "coarse_block",
+                     "use_opq", "do_pruning", "interpret", "precision"))
 def grouping_pallas_search_core(
         queries, centroids, centroid_norms, codebooks, norm_centroids, R,
         tiles, ids_aligned, tile_offsets, nn_idxs, alphas, inter_dists,
