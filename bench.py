@@ -39,16 +39,28 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+CORPUS_VERSION = 2  # bump to invalidate cached artifacts
+
+
 def make_data():
+    """Clustered corpus with an anisotropic (power-law) intra-cluster
+    covariance — real descriptor data (SIFT/deep embeddings) concentrates
+    variance in a few directions, which is what residual PQ exploits;
+    isotropic noise is PQ's worst case and made recall unrepresentative."""
     rng = np.random.RandomState(0)
     log("generating corpus ...")
     centers = rng.randn(NC, D).astype(np.float32) * 4.0
     scales = (0.5 + rng.rand(NC, 1).astype(np.float32))
+    spectrum = (np.arange(1, D + 1) ** -0.5).astype(np.float32)
+    mix = rng.randn(D, D).astype(np.float32) / np.sqrt(D)
+
+    def noise(n):
+        return (rng.randn(n, D).astype(np.float32) * spectrum) @ mix
+
     assign = rng.randint(0, NC, NB)
-    base = centers[assign] + rng.randn(NB, D).astype(np.float32) * scales[assign]
+    base = centers[assign] + noise(NB) * scales[assign]
     qassign = rng.randint(0, NC, NQ)
-    queries = (centers[qassign]
-               + rng.randn(NQ, D).astype(np.float32) * scales[qassign])
+    queries = centers[qassign] + noise(NQ) * scales[qassign]
     learn = base[rng.permutation(NB)[:300_000]]
     return base, queries, learn
 
@@ -111,6 +123,18 @@ def main():
     p_idx = os.path.join(CACHE, "bench.index")
     p_gt = os.path.join(CACHE, "gt.npy")
     p_q = os.path.join(CACHE, "queries.npy")
+
+    p_ver = os.path.join(CACHE, "corpus_version")
+    cached_ver = (open(p_ver).read().strip()
+                  if os.path.exists(p_ver) else "")
+    if cached_ver != str(CORPUS_VERSION):
+        log(f"corpus version changed ({cached_ver!r} -> {CORPUS_VERSION}); "
+            "rebuilding cache")
+        for f in os.listdir(CACHE):
+            if f != "last_result.json":
+                os.remove(os.path.join(CACHE, f))
+        with open(p_ver, "w") as f:
+            f.write(str(CORPUS_VERSION))
 
     need_build = not all(os.path.exists(p) for p in
                          (p_cent, p_pq, p_npq, p_idx, p_gt, p_q))

@@ -104,14 +104,14 @@ def _subcentroid_assign(x, keys, centroids, nn_idxs, alphas,
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "L", "nsubc", "coarse_block", "use_opq",
-                     "do_pruning", "precision"))
+                     "do_pruning", "trace", "precision"))
 def _grouping_search_core(queries, centroids, centroid_norms, codebooks,
                           norm_centroids, R, codes, ids, norm_codes,
                           sub_offsets, nn_idxs, alphas, inter_dists,
                           group_sizes, max_codes, *, nprobe: int, k: int,
                           L: int, nsubc: int, coarse_block: int,
                           use_opq: bool, do_pruning: bool,
-                          precision=HIGHEST):
+                          trace: bool = False, precision=HIGHEST):
     """Jitted Grouping(+Pruning) search (IndexIVF_HNSW_Grouping.cpp:188-363).
 
     sub_offsets: [nc*nsubc + 1] offsets into the flat arrays, subgroup lists
@@ -217,6 +217,9 @@ def _grouping_search_core(queries, centroids, centroid_norms, codebooks,
     dists, sel = adc_ops.adc_scan(luts, g_codes, bias, valid, k)
     labels = jnp.take_along_axis(g_ids, sel, axis=1)
     labels = jnp.where(jnp.isfinite(dists), labels, -1)
+    if trace:
+        return dists, labels, (probes, qc_dists, probe_inc,
+                               jnp.sum(valid, axis=1))
     return dists, labels
 
 
@@ -507,6 +510,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
                     np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))
         out_d = np.empty((nq, params.k), np.float32)
         out_l = np.empty((nq, params.k), np.int64)
+        traces = [] if trace else None
         for off in range(0, nq, batch):
             blk = queries[off:off + batch]
             n = blk.shape[0]
@@ -517,7 +521,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
                     blk, params, nprobe,
                     interpret=(engine == "pallas_interpret"))
             else:
-                d, l = _grouping_search_core(
+                res = _grouping_search_core(
                     jnp.asarray(blk), self.centroids, self.centroid_norms,
                     self.pq.codebooks, self.norm_pq.centroids,
                     self.opq_R if self.do_opq else
@@ -530,10 +534,22 @@ class IVFADCGroupingIndex(IVFADCIndex):
                     nsubc=self.nsubc,
                     coarse_block=min(self.coarse_block,
                                      _round_up(self.nc, 128)),
-                    use_opq=self.do_opq, do_pruning=params.do_pruning)
+                    use_opq=self.do_opq, do_pruning=params.do_pruning,
+                    trace=trace)
+                if trace:
+                    d, l, tr = res
+                    traces.append(tuple(np.asarray(t)[:n] for t in tr))
+                    self.stats["codes_scanned"] += int(np.sum(traces[-1][3]))
+                else:
+                    d, l = res
             out_d[off:off + n] = np.asarray(d)[:n]
             out_l[off:off + n] = np.asarray(l)[:n]
         self.stats["queries"] += nq
+        if trace:
+            probes_t, qc, inc, nsc = (np.concatenate([t[i] for t in traces])
+                                      for i in range(4))
+            return out_d, out_l, {"probes": probes_t, "qc_dists": qc,
+                                  "included": inc, "n_scanned": nsc}
         return out_d, out_l
 
     def search_disk(self, queries, params: SearchParams, base_file: io.XvecFile):

@@ -224,3 +224,13 @@ def test_search_disk_exact_rerank(built, tmp_path):
                                                          max_codes=0))[1],
                         gt, ks=(1,))
     assert r_disk[1] >= r_ann[1] - 1e-9
+
+
+def test_grouping_trace_mode(built):
+    idx, base, queries, gt = built
+    idx.engine = "auto"
+    d, l, tr = idx.search(queries, SearchParams(k=10, nprobe=6, max_codes=500),
+                          trace=True)
+    assert tr["probes"].shape == (queries.shape[0], 6)
+    assert (tr["n_scanned"] > 0).all()
+    assert tr["included"].dtype == np.bool_
