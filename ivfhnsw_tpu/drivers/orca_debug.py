@@ -27,12 +27,20 @@ def main() -> dict | None:
     cfg, extras = C.parse_driver_args(("synthetic",))
     seed = int(extras["synthetic"]) if "synthetic" in extras else None
     ds = C.get_dataset(cfg, seed)
-    index = IVFADCIndex(cfg.index)
+    grouping = cfg.index.nsubc > 0
+    if grouping:
+        # Grouping debug variant (test_ivfhnsw_grouping_sift1b_orca.cpp).
+        from ivfhnsw_tpu import IVFADCGroupingIndex
+        index = IVFADCGroupingIndex(cfg.index)
+    else:
+        index = IVFADCIndex(cfg.index)
     key = jax.random.PRNGKey(0)
     C.setup_quantizer(index, cfg, ds, key)
+    if grouping:
+        index.compute_neighbor_centroids()
     C.setup_pq(index, cfg, ds, key)
     idxs = C.load_or_assign(index, cfg, ds)
-    C.build_or_read_index(index, cfg, ds, idxs)
+    C.build_or_read_index(index, cfg, ds, idxs, grouping=grouping)
 
     p = cfg.search
     params = SearchParams(k=p.k, nprobe=p.nprobe, max_codes=p.max_codes)
