@@ -431,6 +431,10 @@ class IVFADCIndex:
 
         # Mega-batch fast path: the whole query set in one launch (per-launch
         # dispatch through the remote tunnel costs ~ms).
+        if engine == "pallas":
+            batch = min(batch,
+                        self._pallas_batch_cap(
+                            self._pallas_nch(params, nprobe)))
         if engine == "pallas" and nq >= 2 * batch:
             from ivfhnsw_tpu.ops.pallas import adc_scan as pk
             G = -(-nq // batch)
@@ -494,16 +498,29 @@ class IVFADCIndex:
                                   "included": inc, "n_scanned": nsc}
         return out_d, out_l
 
+    def _pallas_batch_cap(self, nch: int) -> int:
+        """Largest per-launch sub-batch whose scalar-prefetch metadata
+        ([B, nch] i32) fits 1MB SMEM with headroom."""
+        return max(128, min(1024, ((900 << 10) // (4 * nch)) // 128 * 128))
+
     def search_device(self, queries_dev, params: SearchParams):
-        """Serving fast path: queries already on device as [G, B, d] (see
-        pallas_search_many); returns device arrays (dists [G, B, k],
-        labels [G, B, k]). No host transfers — the caller owns staging."""
+        """Serving fast path: device-resident queries, either [N, d]
+        (reshaped internally into SMEM-safe sub-batches; N must divide) or
+        pre-shaped [G, B, d]. Returns device arrays (dists, labels) shaped
+        like the input batching. No host transfers — the caller owns
+        staging."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         nprobe = min(params.nprobe, self.nc)
+        nch = self._pallas_nch(params, nprobe)
+        if queries_dev.ndim == 2:
+            B = self._pallas_batch_cap(nch)
+            n = queries_dev.shape[0]
+            while n % B:
+                B //= 2
+            queries_dev = queries_dev.reshape(-1, B, queries_dev.shape[1])
         return pk.pallas_search_many(
             queries_dev, *self._pallas_args(), jnp.int32(params.max_codes),
-            nprobe=nprobe, k=params.k,
-            nch=self._pallas_nch(params, nprobe),
+            nprobe=nprobe, k=params.k, nch=nch,
             coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
             use_opq=self.do_opq)
 
