@@ -500,8 +500,9 @@ class IVFADCIndex:
 
     def _pallas_batch_cap(self, nch: int) -> int:
         """Largest per-launch sub-batch whose scalar-prefetch metadata
-        ([B, nch] i32) fits 1MB SMEM with headroom."""
-        return max(128, min(1024, ((900 << 10) // (4 * nch)) // 128 * 128))
+        ([B, nch] i32) fits 1MB SMEM. Mosaic pads the operand, so budget
+        conservatively (observed: B=896 x nch=256 padded to exactly 1MB)."""
+        return max(128, min(1024, ((640 << 10) // (4 * nch)) // 128 * 128))
 
     def search_device(self, queries_dev, params: SearchParams):
         """Serving fast path: device-resident queries, either [N, d]

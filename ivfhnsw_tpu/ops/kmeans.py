@@ -100,9 +100,10 @@ def kmeans(key, data, k: int, niter: int = 25, block_c: int = 16384,
     # for small/medium k; very large k (coarse centroids at 2^20) uses
     # random init like faiss.
     k_init, key = jax.random.split(key)
-    if k <= 4096:
+    if k <= 8192:
         # >= 32 samples per cluster: a thin subsample seeds k-means++ poorly
-        # and leaves badly skewed cluster sizes.
+        # and leaves badly skewed cluster sizes (observed 24x skew at
+        # nc=8192 with random init — oversized lists blow up scan windows).
         sub_n = min(n, max(32 * k, 16384))
         sub = data[np.random.RandomState(0).permutation(n)[:sub_n]]
         centroids = kmeanspp_init(k_init, jnp.asarray(sub), k,
