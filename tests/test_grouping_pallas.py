@@ -77,3 +77,21 @@ def test_grouped_tile_layout(built):
     expected_subc = np.repeat(np.arange(idx.nsubc), sub_sizes[g])[:16]
     np.testing.assert_array_equal(tiles[t0, SUBC_ROW, :len(expected_subc)],
                                   expected_subc)
+
+
+def test_grouping_pallas_opq():
+    rng = np.random.RandomState(31)
+    nb, d = 6000, 32
+    base = rng.randn(nb, d).astype(np.float32)
+    queries = rng.randn(12, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=32, code_size=8, nsubc=8, do_opq=True)
+    idx = IVFADCGroupingIndex(cfg)
+    key = jax.random.PRNGKey(2)
+    idx.train_centroids(key, base[:3000], niter=8)
+    idx.compute_neighbor_centroids()
+    idx.train_pq(key, base[:3000], opq_niter=5)
+    idx.add(base, np.arange(nb, dtype=np.int32))
+    idx.finalize()
+    assert_same(*both(idx, queries,
+                      SearchParams(k=10, nprobe=8, max_codes=500,
+                                   do_pruning=True)))
