@@ -451,10 +451,27 @@ class IVFADCGroupingIndex(IVFADCIndex):
             .astype(np.int32))
         gsizes = np.asarray(tiled.list_sizes)
         mx = int(gsizes.max()) if gsizes.size else 0
-        if params.max_codes and params.max_codes > 0:
-            nch = (params.max_codes + mx) // gs.CHUNK + nprobe + 1
+        # Chunk capacity. The schedule (grouping_chunk_metadata) allocates
+        # ceil(full_group/CHUNK) chunks per INCLUDED probe, while the
+        # max_codes budget gate counts *unpruned* (effective) sizes — so
+        # under pruning, many probes can pass the budget while each still
+        # demands its full-group chunk span. The exact worst case for any
+        # query is the sum of tile counts of the nprobe largest groups;
+        # without pruning the budget additionally bounds demand by
+        # (max_codes + mx)/CHUNK + nprobe + 1 (one group may cross the
+        # budget). Chunks past nch would be silently dropped, so size from
+        # the applicable exact bound.
+        tile_counts = np.diff(np.asarray(tiled.tile_offsets)).astype(np.int64)
+        if tile_counts.size:
+            top_demand = int(np.sort(tile_counts)
+                             [-min(nprobe, tile_counts.size):].sum())
         else:
-            nch = nprobe * max(1, -(-mx // gs.CHUNK))
+            top_demand = 0
+        if params.max_codes and params.max_codes > 0 and not params.do_pruning:
+            nch = min((params.max_codes + mx) // gs.CHUNK + nprobe + 1,
+                      top_demand)
+        else:
+            nch = top_demand
         args = (self.centroids, self.centroid_norms, self.pq.codebooks,
                 self.norm_pq.centroids,
                 self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
@@ -493,12 +510,16 @@ class IVFADCGroupingIndex(IVFADCIndex):
             L = self._scan_budget(params)
         else:
             # Two scalar-prefetch arrays (packed tile/len + seg) live in 1MB
-            # SMEM: batch x nch x 8B must fit with headroom.
-            batch = min(batch, 512)
+            # SMEM: batch x nch x 8B must fit with headroom (nch can grow
+            # large under pruning, where every probe's full group span must
+            # be provisioned).
+            args, kw = self._grouping_pallas_setup(params, nprobe)
+            cap = max(8, min(512, (512 << 10) // (8 * max(kw["nch"], 1))
+                             // 8 * 8))
+            batch = min(batch, cap)
         # Mega-batch fast path: whole query set in one launch.
         if engine == "pallas" and nq >= 2 * batch:
             from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
-            args, kw = self._grouping_pallas_setup(params, nprobe)
             G = -(-nq // batch)
             qpad = np.zeros((G * batch, queries.shape[1]), np.float32)
             qpad[:nq] = queries
@@ -517,9 +538,10 @@ class IVFADCGroupingIndex(IVFADCIndex):
             if n < batch and nq > batch:
                 blk = np.pad(blk, ((0, batch - n), (0, 0)))
             if engine in ("pallas", "pallas_interpret"):
-                d, l = self._search_pallas_grouping(
-                    blk, params, nprobe,
-                    interpret=(engine == "pallas_interpret"))
+                from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
+                d, l = gs.grouping_pallas_search_core(
+                    jnp.asarray(blk), *args, jnp.int32(params.max_codes),
+                    interpret=(engine == "pallas_interpret"), **kw)
             else:
                 res = _grouping_search_core(
                     jnp.asarray(blk), self.centroids, self.centroid_norms,
@@ -570,6 +592,12 @@ class IVFADCGroupingIndex(IVFADCIndex):
             vecs = base_file.gather(labels[ok])
             exact = ((vecs - queries[i][None]) ** 2).sum(1)
             dd, ll = rerank_order(exact, labels[ok])
+            # Fewer than k finite candidates (tiny lists / heavy pruning):
+            # pad with (+inf, -1) like the ANN paths do.
+            if dd.shape[0] < params.k:
+                pad = params.k - dd.shape[0]
+                dd = np.concatenate([dd, np.full(pad, np.inf, dd.dtype)])
+                ll = np.concatenate([ll, np.full(pad, -1, ll.dtype)])
             out_d[i] = dd[:params.k]
             out_l[i] = ll[:params.k]
         return out_d, out_l

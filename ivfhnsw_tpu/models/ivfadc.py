@@ -557,7 +557,11 @@ class IVFADCIndex:
         qc_dists, probes = streaming_topk_l2(
             queries, self.centroids, nprobe, block=self.coarse_block,
             point_sqnorms=self.centroid_norms)
-        L = self._scan_budget(params)
+        # search2m scans every probe's FULL list (no max_codes budget — the
+        # reference's early-exit is commented out, IndexIVF_HNSW.cpp:528-530),
+        # so the static window must cover nprobe full lists; the budget-based
+        # _scan_budget(params) would under-size it when params.max_codes > 0.
+        L = _round_up(max(store.max_list_size() * nprobe, 128), 128)
         q_rot = (opq_ops.apply_rotation(queries, self.opq_R)
                  if self.do_opq else queries)
         luts = self.pq.ip_luts(q_rot)

@@ -53,6 +53,95 @@ def kmeanspp_init(key, data, k: int, precision=None):
     return cents
 
 
+def hierarchical_seed(key, data, k: int, block_c: int = 16384,
+                      precision=None) -> np.ndarray:
+    """Two-level ++-style seeding for very large k (coarse centroids at
+    2^17-2^20, where the sequential k-step ++ loop is impractical).
+
+    1. Learn k_sup = ~k/256 super-centroids (++ init + a few Lloyd rounds on
+       a subsample).
+    2. Assign a large subsample to the super-centroids and draw each
+       super-cluster's proportional quota of seeds uniformly from its own
+       members (largest-remainder rounding to hit exactly k).
+
+    Proportional allocation reproduces D^2-ish coverage at cluster
+    granularity: dense regions get many seeds, so no seed starts responsible
+    for a huge slab of points — the failure mode of flat random init.
+    Returns seeds [k, d] float32 (numpy).
+    """
+    data = np.asarray(data, np.float32)
+    n = data.shape[0]
+    k_sup = int(np.clip(k // 256, 1, 8192))
+    k_seed, k_sub, k_draw = jax.random.split(key, 3)
+    rng = np.random.RandomState(
+        int(jax.random.randint(k_draw, (), 0, 2**31 - 1)))
+
+    sub_n = min(n, max(32 * k_sup, 16384))
+    sub = data[rng.permutation(n)[:sub_n]]
+    sup = kmeanspp_init(k_seed, jnp.asarray(sub), k_sup, precision=precision)
+    for _ in range(4):
+        _, idx = assign_top1(jnp.asarray(sub), sup, block=block_c,
+                             precision=precision)
+        sums = jax.ops.segment_sum(jnp.asarray(sub), idx, num_segments=k_sup)
+        counts = jax.ops.segment_sum(jnp.ones((sub_n,), jnp.float32), idx,
+                                     num_segments=k_sup)
+        sup = _update_with_split(sums, counts, sup)
+
+    # Assign a seed pool >= 8x k so every quota can usually be met.
+    pool_n = min(n, max(8 * k, sub_n))
+    pool_idx = rng.permutation(n)[:pool_n]
+    pool = data[pool_idx]
+    members = np.empty(pool_n, np.int32)
+    step = 1 << 18
+    for off in range(0, pool_n, step):
+        _, ii = assign_top1(jnp.asarray(pool[off:off + step]), sup,
+                            block=block_c, precision=precision)
+        members[off:off + step] = np.asarray(ii)
+    counts = np.bincount(members, minlength=k_sup).astype(np.int64)
+
+    # Largest-remainder proportional quotas, capped by availability.
+    exact = k * counts / max(counts.sum(), 1)
+    quota = np.floor(exact).astype(np.int64)
+    rem = k - int(quota.sum())
+    if rem > 0:
+        order = np.argsort(-(exact - quota))
+        quota[order[:rem]] += 1
+    quota = np.minimum(quota, counts)
+    # Redistribute any shortfall (tiny clusters) to clusters with headroom.
+    short = k - int(quota.sum())
+    if short > 0:
+        head = counts - quota
+        order = np.argsort(-head)
+        for s in order:
+            take = min(short, int(head[s]))
+            quota[s] += take
+            short -= take
+            if short == 0:
+                break
+    if short > 0:  # pool smaller than k: top up with random data points
+        quota_total = int(quota.sum())
+        extra = data[rng.permutation(n)[:short]]
+    else:
+        quota_total, extra = int(quota.sum()), None
+
+    order = np.argsort(members, kind="stable")
+    starts = np.zeros(k_sup + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    seeds = np.empty((k, data.shape[1]), np.float32)
+    w = 0
+    for s in range(k_sup):
+        q = int(quota[s])
+        if q == 0:
+            continue
+        mem = order[starts[s]:starts[s + 1]]
+        pick = mem if q == counts[s] else rng.choice(mem, q, replace=False)
+        seeds[w:w + q] = pool[pick]
+        w += q
+    if extra is not None:
+        seeds[w:] = extra
+    return seeds
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_c", "precision"))
 def _stream_iter(data_blocks, valid, centroids, k: int, block_c: int,
                  precision=None):
@@ -98,20 +187,22 @@ def kmeans(key, data, k: int, niter: int = 25, block_c: int = 16384,
     # k-means++ on a subsample (D^2 seeding fixes merged-cluster minima that
     # random init falls into). Its sequential k-step loop is only worth it
     # for small/medium k; very large k (coarse centroids at 2^20) uses
-    # random init like faiss.
+    # hierarchical ++ seeding (super-clusters, then proportional per-cluster
+    # sampling) — flat random init left badly skewed list sizes.
     k_init, key = jax.random.split(key)
+    rng = np.random.RandomState(
+        int(jax.random.randint(k_init, (), 0, 2**31 - 1)))
     if k <= 8192:
         # >= 32 samples per cluster: a thin subsample seeds k-means++ poorly
         # and leaves badly skewed cluster sizes (observed 24x skew at
         # nc=8192 with random init — oversized lists blow up scan windows).
         sub_n = min(n, max(32 * k, 16384))
-        sub = data[np.random.RandomState(0).permutation(n)[:sub_n]]
+        sub = data[rng.permutation(n)[:sub_n]]
         centroids = kmeanspp_init(k_init, jnp.asarray(sub), k,
                                   precision=precision)
     else:
-        perm = np.random.RandomState(
-            int(jax.random.randint(k_init, (), 0, 2**31 - 1))).permutation(n)
-        centroids = jnp.asarray(data[perm[:k]])
+        centroids = jnp.asarray(hierarchical_seed(
+            k_init, data, k, block_c=block_c, precision=precision))
 
     sse = jnp.float32(0.0)
     for it in range(niter):

@@ -23,9 +23,10 @@ So decode-gather cost is paid once per chunk instead of once per
 
 Capacity knobs (static): U = union-list capacity per block, nch = chunk
 capacity per block. Overflow (a block whose union exceeds U, or whose
-chunks exceed nch) drops the *farthest* lists for the affected queries; the
-driver can size U/nch so this never fires for clustered query batches
-(counted in the returned stats).
+chunks exceed nch) drops lists in *arbitrary* order — the union is built
+from an id-sort, so the lists with the highest centroid IDS are dropped,
+NOT the farthest ones. Size U/nch so overflow never fires (it is counted
+per block in the returned stats; raise U when it does).
 """
 
 from __future__ import annotations

@@ -234,3 +234,32 @@ def test_grouping_trace_mode(built):
     assert tr["probes"].shape == (queries.shape[0], 6)
     assert (tr["n_scanned"] > 0).all()
     assert tr["included"].dtype == np.bool_
+
+
+def test_search_disk_pads_short_candidates(tmp_path):
+    """A query returning fewer than k finite candidates must pad with
+    (+inf, -1) instead of raising (regression: shape-mismatch on assign)."""
+    import jax
+    from ivfhnsw_tpu.utils import io
+
+    rng = np.random.RandomState(11)
+    nb, d = 64, 16
+    base = rng.randn(nb, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=8, code_size=4, nsubc=4)
+    idx = IVFADCGroupingIndex(cfg)
+    key = jax.random.PRNGKey(0)
+    idx.train_centroids(key, base, niter=5)
+    idx.compute_neighbor_centroids()
+    idx.train_pq(key, base)
+    idx.add(base, np.arange(nb, dtype=np.int32))
+    idx.finalize()
+    path = str(tmp_path / "tiny.fvecs")
+    io.write_xvec(path, base)
+    f = io.XvecFile(path, d)
+    # k=40 but nprobe=1 limits candidates well below 2k=80.
+    dd, ll = idx.search_disk(rng.randn(3, d).astype(np.float32),
+                             SearchParams(k=40, nprobe=1, max_codes=0), f)
+    assert dd.shape == (3, 40) and ll.shape == (3, 40)
+    for i in range(3):
+        n_fin = np.isfinite(dd[i]).sum()
+        assert (ll[i, n_fin:] == -1).all()

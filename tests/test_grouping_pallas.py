@@ -95,3 +95,16 @@ def test_grouping_pallas_opq():
     assert_same(*both(idx, queries,
                       SearchParams(k=10, nprobe=8, max_codes=500,
                                    do_pruning=True)))
+
+
+def test_grouping_pallas_aggressive_pruning(built):
+    """Regression: under heavy pruning the budget gate admits many probes
+    (effective sizes are small) while each included probe still demands its
+    FULL group chunk span — the chunk window must be provisioned for that
+    demand, not for max_codes/CHUNK (+nprobe). With under-provisioning the
+    tail chunks were silently dropped and the kernel returned worse results
+    than the XLA engine."""
+    idx, queries = built
+    assert_same(*both(idx, queries,
+                      SearchParams(k=10, nprobe=12, max_codes=100,
+                                   do_pruning=True)))

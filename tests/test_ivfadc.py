@@ -227,3 +227,17 @@ def test_orcv_home_roundtrip(built_index, tmp_path):
                                   np.asarray(idx.store.norm_codes))
     np.testing.assert_array_equal(np.asarray(idx2.store.list_offsets),
                                   np.asarray(idx.store.list_offsets))
+
+
+def test_search_per_probe_ignores_max_codes(built_index):
+    """search2m scans every probe's full list (the reference's max_codes
+    early-exit is commented out, IndexIVF_HNSW.cpp:528-530); a params.max_codes
+    must not shrink the scan window (regression: L was sized from the budget
+    while inclusion ignored it, silently dropping later probes)."""
+    idx, base, queries, gt = built_index
+    d0, l0 = idx.search_per_probe(queries, SearchParams(k=5, nprobe=6,
+                                                        max_codes=0))
+    d1, l1 = idx.search_per_probe(queries, SearchParams(k=5, nprobe=6,
+                                                        max_codes=50))
+    np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(l1, l0)

@@ -87,3 +87,41 @@ def test_kmeans_batched_matches_flat(rng):
     for b in range(2):
         d = exact_l2(data[b], np.asarray(cents[b]))
         assert d.min(axis=1).mean() < data[b].var(axis=0).sum() * 0.5
+
+
+def test_kmeans_key_threading(rng):
+    """Two different PRNG keys must give different subsamples/inits (the
+    subsample permutation used to be pinned to RandomState(0))."""
+    import jax
+    from ivfhnsw_tpu.ops.kmeans import kmeans
+
+    data = rng.randn(4096, 8).astype(np.float32)
+    c1, _ = kmeans(jax.random.PRNGKey(0), data, 16, niter=0)
+    c2, _ = kmeans(jax.random.PRNGKey(1), data, 16, niter=0)
+    c1b, _ = kmeans(jax.random.PRNGKey(0), data, 16, niter=0)
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c1b))
+
+
+def test_hierarchical_seed_large_k(rng):
+    """Large-k seeding: exactly k seeds, drawn from the data, and the
+    resulting clustering has bounded size skew after a few Lloyd rounds."""
+    import jax
+    from ivfhnsw_tpu.ops.kmeans import hierarchical_seed
+    from ivfhnsw_tpu.ops.distances import assign_top1
+    import jax.numpy as jnp
+
+    # Clustered data (the regime where flat random init skews badly).
+    centers = rng.randn(64, 8).astype(np.float32) * 8
+    data = (centers[rng.randint(0, 64, 65536)]
+            + rng.randn(65536, 8).astype(np.float32))
+    k = 1024
+    seeds = hierarchical_seed(jax.random.PRNGKey(3), data, k)
+    assert seeds.shape == (k, 8)
+    seeds2 = hierarchical_seed(jax.random.PRNGKey(3), data, k)
+    np.testing.assert_array_equal(seeds, seeds2)
+    assert np.unique(seeds, axis=0).shape[0] > 0.98 * k
+    # Size-skew bound after assignment to the raw seeds.
+    _, idx = assign_top1(jnp.asarray(data), jnp.asarray(seeds))
+    counts = np.bincount(np.asarray(idx), minlength=k)
+    assert counts.max() / max(counts.mean(), 1) < 20.0

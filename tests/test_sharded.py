@@ -103,3 +103,41 @@ def test_sharded_pallas_engine_matches(built):
     mism = l1 != l2
     if mism.any():
         assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("use_opq", [False, True])
+def test_build_step_matches_encode_batch(use_opq):
+    """The sharded assign+encode step must reproduce IVFADCIndex._encode_batch
+    (incl. the OPQ rotation and RECONSTRUCTION-norm codes) exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ivfhnsw_tpu.parallel.build import make_assign_encode_step
+    from ivfhnsw_tpu.parallel.mesh import SHARD_AXIS
+    from ivfhnsw_tpu.parallel import ShardedIVFADC
+
+    rng = np.random.RandomState(7)
+    nb, d = 4000, 32
+    base = rng.randn(nb, d).astype(np.float32)
+    cfg = IndexConfig(d=d, nc=64, code_size=8, do_opq=use_opq)
+    idx = IVFADCIndex(cfg)
+    key = jax.random.PRNGKey(1)
+    idx.train_centroids(key, base[:2000], niter=8)
+    idx.train_pq(key, base[:2000], opq_niter=4)
+    idx.add_batch(base[:64], np.arange(64, dtype=np.int32))
+    idx.finalize()
+
+    mesh = make_mesh(8)
+    sharded = ShardedIVFADC(idx, mesh)
+    step = make_assign_encode_step(mesh, use_opq=use_opq)
+    x = base[1000:1512]
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(SHARD_AXIS)))
+    R = idx.opq_R if use_opq else jnp.zeros((0, 0), jnp.float32)
+    keys, codes, norm_codes = step(xs, sharded.centroids, sharded.codebooks,
+                                   R, idx.norm_pq.centroids)
+
+    ref_keys = idx.assign(x)
+    ref_codes, ref_norms = idx._encode_batch(jnp.asarray(x), ref_keys)
+    np.testing.assert_array_equal(np.asarray(keys), ref_keys)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(ref_codes))
+    np.testing.assert_array_equal(np.asarray(norm_codes),
+                                  np.asarray(ref_norms))
