@@ -1,16 +1,27 @@
-"""Benchmark: IVFADC search QPS on one TPU chip.
+"""Benchmark: IVFADC (+Grouping+OPQ) search on one TPU chip vs a MEASURED
+single-CPU-thread baseline.
 
-Workload (stable across rounds so BENCH_r{N}.json is comparable):
-  - synthetic SIFT-like corpus: 2M x 128-d, 4096-cluster mixture, seed 0
-  - index: nc=4096 coarse centroids, PQ16 + 1-byte norm codes (reference
-    canonical code budget, examples/run_sift1b.sh)
-  - queries: 8192; operating point nprobe=32, max_codes=10000, k=10
-    (the reference's first paper configuration, run_sift1b.sh:38-44)
+Workloads (stable across rounds so BENCH_r{N}.json is comparable):
+  primary -- synthetic SIFT-like corpus: 2M x 128-d, 4096-cluster mixture,
+    seed 0; index nc=4096, PQ16 + 1-byte norm codes (reference canonical code
+    budget, examples/run_sift1b.sh); 8192 queries at nprobe=32,
+    max_codes=10000, k=10 (the reference's first paper configuration,
+    run_sift1b.sh:38-44).
+  grouping -- same corpus, IVFADC+Grouping+Pruning+OPQ (nsubc=64), the
+    reference's flagship configuration (run_sift1b_grouping_OPQ.sh).
+  scale -- 20M x 128-d, nc=2^17 (canonical-geometry validation point:
+    large-k kmeans init, SMEM metadata caps, scan-window sizing), nprobe=128.
 
-Baseline (vs_baseline denominator): the reference's single-CPU-thread search
-at this operating point costs ~50 us/query (~30 us for the 10k-code ADC scan
-at ~3 ns/code incl. norm decode + ~20 us HNSW at efSearch=80), i.e. ~20k QPS.
-BASELINE.md's north star is >=10x that per chip.
+Baseline (vs_baseline denominator): MEASURED by native/cpu_baseline — a
+faithful single-thread C++ implementation of the reference's query path
+(graph coarse search with ef=80 + LUT + 3-term ADC scan with max_codes
+budget, IndexIVF_HNSW.cpp:234-296) run on this host at the primary operating
+point. Its recall and labels are cross-checked against the TPU engine.
+
+Recall adjudication: R@1/10/100 plus a recall CEILING — exact ADC (brute
+force over all PQ reconstructions with quantized norms, i.e. nprobe=nc,
+max_codes=0) on a query subset. Ceiling - achieved = loss from probe
+selection/budget; 1 - ceiling = loss from quantization itself.
 
 Artifacts cache under .bench_cache/ (exists()-gated stages, mirroring the
 reference drivers' resume behavior, test_ivfhnsw_sift1b.cpp:54-162).
@@ -22,24 +33,26 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cache")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(ROOT, ".bench_cache")
 NB, NQ, D, NC = 2_000_000, 8192, 128, 4096
 CODE_SIZE = 16
 NPROBE, MAX_CODES, K = 32, 10_000, 10
-CPU_BASELINE_QPS = 20_000.0
+NSUBC = 64
+CEIL_NQ = 2048          # query subset for the exact-ADC ceiling
+S_NB, S_NC, S_NQ = 20_000_000, 131_072, 2048
+S_NPROBE, S_MC = 128, 30_000
+CORPUS_VERSION = 2  # bump to invalidate cached artifacts
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
-
-
-CORPUS_VERSION = 2  # bump to invalidate cached artifacts
 
 
 def make_data():
@@ -70,7 +83,6 @@ def device_healthy() -> bool:
     probe it in a subprocess so the bench fails fast instead of hanging.
     Two attempts — device-claim handover right after another process exits
     can stall the first probe spuriously."""
-    import subprocess
     for timeout_s in (90, 240):
         try:
             r = subprocess.run(
@@ -83,6 +95,356 @@ def device_healthy() -> bool:
         except subprocess.TimeoutExpired:
             pass
     return False
+
+
+# ---------------------------------------------------------------------------
+# Measured CPU baseline
+# ---------------------------------------------------------------------------
+
+def measure_cpu_baseline(idx, queries, gt):
+    """Run native/cpu_baseline (single-thread C++ reference-semantics search)
+    at the primary operating point; returns (us_per_query, recall_at_1).
+    Cached — the number is a property of the corpus + host, not of our code."""
+    from ivfhnsw_tpu.utils.recall import recall_at_k
+
+    p_json = os.path.join(CACHE, "cpu_baseline.json")
+    if os.path.exists(p_json):
+        with open(p_json) as f:
+            d = json.load(f)
+        return d["us_per_query"], d["recall_at_1"]
+
+    binp = os.path.join(ROOT, "native", "build", "cpu_baseline")
+    if not os.path.exists(binp):
+        log("compiling cpu_baseline ...")
+        subprocess.run(["make", "-C", os.path.join(ROOT, "native"),
+                        "build/cpu_baseline"], check=True,
+                       capture_output=True)
+
+    log("exporting baseline blob ...")
+    store = idx._ensure_store()
+    blob = os.path.join(CACHE, "cpu_baseline.blob")
+    labels_out = os.path.join(CACHE, "cpu_baseline.labels")
+    with open(blob, "wb") as f:
+        np.asarray([0x49564241], "<i4").tofile(f)
+        np.asarray([D, NC, CODE_SIZE, 256, NQ, NPROBE, MAX_CODES, K, 80],
+                   "<i4").tofile(f)                       # ef=80 (run_sift1b.sh)
+        np.asarray([store.codes.shape[0]], "<i8").tofile(f)
+        np.asarray(idx.centroids, "<f4").tofile(f)
+        np.asarray(idx.pq.codebooks, "<f4").tofile(f)
+        np.asarray(idx.norm_pq.centroids, "<f4").tofile(f)
+        np.asarray(store.codes, "u1").tofile(f)
+        np.asarray(store.norm_codes, "u1").tofile(f)
+        np.asarray(store.ids, "<i4").tofile(f)
+        np.asarray(store.list_offsets, "<i8").tofile(f)
+        np.asarray(queries, "<f4").tofile(f)
+
+    log("running measured CPU baseline (single thread) ...")
+    r = subprocess.run([binp, blob, labels_out], capture_output=True,
+                       text=True, timeout=3600)
+    if r.returncode != 0:
+        log(f"cpu_baseline failed: {r.stderr[-500:]}")
+        return None, None
+    us = float(r.stdout.strip().split("=")[1])
+    labels = np.fromfile(labels_out, "<i8").reshape(NQ, K)
+    rec = recall_at_k(labels, gt, ks=(1,))[1]
+    os.remove(blob)
+    with open(p_json, "w") as f:
+        json.dump({"us_per_query": us, "recall_at_1": float(rec),
+                   "nq": NQ}, f)
+    log(f"  cpu baseline: {us:.1f} us/query, R@1={rec:.4f}")
+    return us, float(rec)
+
+
+# ---------------------------------------------------------------------------
+# Exact-ADC recall ceiling
+# ---------------------------------------------------------------------------
+
+def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100)):
+    """Brute-force ADC over ALL reconstructions (= search with nprobe=nc,
+    max_codes=0): dist = ||q||^2 - 2<q, c_key + decode(code)> + norm_table[
+    norm_code]. The best any probe policy could do with these codes."""
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu.ops import opq as opq_ops
+    from ivfhnsw_tpu.utils.recall import recall_at_k
+
+    store = idx._ensure_store()
+    off = np.asarray(store.list_offsets)
+    keys_all = np.repeat(np.arange(idx.nc, dtype=np.int32),
+                         np.diff(off).astype(np.int64))
+    kmax = max(ks)
+    q = jnp.asarray(queries)
+    qsq = jnp.sum(q ** 2, axis=1)
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def block_scores(codes_b, keys_b, ncodes_b):
+        dec = idx.pq.decode(codes_b)
+        if idx.do_opq:
+            dec = opq_ops.apply_rotation_transpose(dec, idx.opq_R)
+        recon = dec + idx.centroids[keys_b]
+        ip = jax.lax.dot_general(q, recon,
+                                 dimension_numbers=(((1,), (1,)), ((), ())),
+                                 precision=hp,
+                                 preferred_element_type=jnp.float32)
+        dist = qsq[:, None] - 2.0 * ip + idx.norm_pq.decode(ncodes_b)[None, :]
+        d_, i_ = jax.lax.top_k(-dist, kmax)
+        return -d_, i_
+
+    BLK = 32768
+    ntotal = store.codes.shape[0]
+    best_d = np.full((queries.shape[0], kmax), np.inf, np.float32)
+    best_l = np.full((queries.shape[0], kmax), -1, np.int64)
+    ids_np = np.asarray(store.ids)
+    for lo in range(0, ntotal, BLK):
+        hi = min(lo + BLK, ntotal)
+        d_, i_ = block_scores(store.codes[lo:hi],
+                              jnp.asarray(keys_all[lo:hi]),
+                              store.norm_codes[lo:hi])
+        d_, i_ = np.asarray(d_), np.asarray(i_)
+        l_ = ids_np[lo + i_]
+        cat_d = np.concatenate([best_d, d_], axis=1)
+        cat_l = np.concatenate([best_l, l_], axis=1)
+        sel = np.argsort(cat_d, axis=1, kind="stable")[:, :kmax]
+        best_d = np.take_along_axis(cat_d, sel, axis=1)
+        best_l = np.take_along_axis(cat_l, sel, axis=1)
+    rec = recall_at_k(best_l, gt[:queries.shape[0]], ks=ks)
+    return {k: float(rec[k]) for k in ks}
+
+
+# ---------------------------------------------------------------------------
+# Index builders (exists()-gated)
+# ---------------------------------------------------------------------------
+
+def build_primary(key):
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+
+    cfg = IndexConfig(d=D, nc=NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    p_cent = os.path.join(CACHE, "centroids.npy")
+    p_pq = os.path.join(CACHE, "bench.pq")
+    p_npq = os.path.join(CACHE, "bench.norm_pq")
+    p_idx = os.path.join(CACHE, "bench.index")
+    p_gt = os.path.join(CACHE, "gt.npy")
+    p_q = os.path.join(CACHE, "queries.npy")
+
+    need = not all(os.path.exists(p) for p in
+                   (p_cent, p_pq, p_npq, p_idx, p_gt, p_q))
+    if need:
+        base, queries, learn = make_data()
+        np.save(p_q, queries)
+        t0 = time.time()
+        if os.path.exists(p_cent):
+            idx.set_centroids(np.load(p_cent))
+        else:
+            log("training centroids ...")
+            idx.train_centroids(key, learn, niter=10)
+            np.save(p_cent, np.asarray(idx.centroids))
+        log(f"centroids ready ({time.time()-t0:.1f}s)")
+        if os.path.exists(p_pq):
+            idx.load_quantizers(p_pq, p_npq)
+        else:
+            log("training PQ ...")
+            idx.train_pq(key, learn[:65_536])
+            idx.save_quantizers(p_pq, p_npq)
+        log(f"quantizers ready ({time.time()-t0:.1f}s)")
+        if os.path.exists(p_idx):
+            idx.read(p_idx)
+        else:
+            log("adding base vectors ...")
+            bs = 262_144
+            for off in range(0, NB, bs):
+                idx.add_batch(base[off:off + bs],
+                              np.arange(off, min(off + bs, NB),
+                                        dtype=np.int32))
+                log(f"  added {min(off+bs, NB)}/{NB} ({time.time()-t0:.1f}s)")
+            idx.finalize()
+            idx.write(p_idx)
+        log(f"index ready ({time.time()-t0:.1f}s)")
+        if not os.path.exists(p_gt):
+            log("computing exact groundtruth ...")
+            gt = np.empty((NQ, 1), np.int64)
+            qb = 1024
+            hp = jax.lax.Precision.HIGHEST
+            basej = jnp.asarray(base)
+            for off in range(0, NQ, qb):
+                _, i_ = streaming_topk_l2(jnp.asarray(queries[off:off + qb]),
+                                          basej, 1, block=131_072,
+                                          precision=hp)
+                gt[off:off + qb] = np.asarray(i_)
+            del basej
+            np.save(p_gt, gt)
+            log(f"groundtruth ready ({time.time()-t0:.1f}s)")
+        del base
+    else:
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+    return idx, np.load(p_q), np.load(p_gt)
+
+
+def build_grouping(key):
+    """IVFADC+Grouping+OPQ on the primary corpus (flagship reference config).
+    Regenerates the corpus if the cached grouping index is absent."""
+    import jax
+    from ivfhnsw_tpu import IVFADCGroupingIndex, IndexConfig
+
+    cfg = IndexConfig(d=D, nc=NC, code_size=CODE_SIZE, nsubc=NSUBC,
+                      do_opq=True)
+    gidx = IVFADCGroupingIndex(cfg)
+    p_cent = os.path.join(CACHE, "centroids.npy")
+    p_gidx = os.path.join(CACHE, "bench_grouping.index")
+    p_gpq = os.path.join(CACHE, "bench_grouping.pq")
+    p_gnpq = os.path.join(CACHE, "bench_grouping.norm_pq")
+    p_gopq = os.path.join(CACHE, "bench_grouping.opq")
+    p_alpha = os.path.join(CACHE, "bench_grouping.alphas.npy")
+
+    gidx.set_centroids(np.load(p_cent))
+    gidx.compute_neighbor_centroids()
+    if all(os.path.exists(p) for p in (p_gidx, p_gpq, p_gnpq, p_gopq)):
+        gidx.load_quantizers(p_gpq, p_gnpq, p_gopq)
+        gidx.alphas = None
+        gidx.read(p_gidx)  # restores alphas from the file
+        return gidx
+    t0 = time.time()
+    base, queries, learn = make_data()
+    log("training grouping PQ+OPQ ...")
+    gidx.train_pq(key, learn[:65_536], opq_niter=8)
+    gidx.save_quantizers(p_gpq, p_gnpq, p_gopq)
+    log(f"grouping quantizers ready ({time.time()-t0:.1f}s)")
+    log("learning alphas (pass 1) ...")
+    keys_all = gidx.assign(base)
+    gidx.alpha_pass(base, keys_all)
+    gidx.finalize_alphas()
+    np.save(p_alpha, np.asarray(gidx.alphas))
+    log(f"alphas ready ({time.time()-t0:.1f}s)")
+    log("encoding (pass 2) ...")
+    bs = 262_144
+    for off in range(0, NB, bs):
+        gidx.add_batch(base[off:off + bs],
+                       np.arange(off, min(off + bs, NB), dtype=np.int32),
+                       keys_all[off:off + bs])
+        log(f"  added {min(off+bs, NB)}/{NB} ({time.time()-t0:.1f}s)")
+    gidx.finalize()
+    gidx.write(p_gidx)
+    log(f"grouping index ready ({time.time()-t0:.1f}s)")
+    return gidx
+
+
+def build_scale(key):
+    """Scale validation point: 20M x 128d, nc=2^17 (hierarchical kmeans
+    seeding, canonical nprobe). Base is generated and consumed in batches;
+    groundtruth for S_NQ queries is merged streamingly during the sweep."""
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+
+    sdir = os.path.join(CACHE, "scale")
+    os.makedirs(sdir, exist_ok=True)
+    p_cent = os.path.join(sdir, "centroids.npy")
+    p_pq = os.path.join(sdir, "scale.pq")
+    p_npq = os.path.join(sdir, "scale.norm_pq")
+    p_idx = os.path.join(sdir, "scale.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_q = os.path.join(sdir, "queries.npy")
+    p_time = os.path.join(sdir, "build_seconds")
+
+    cfg = IndexConfig(d=D, nc=S_NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    if all(os.path.exists(p) for p in (p_cent, p_pq, p_npq, p_idx, p_gt,
+                                       p_q, p_time)):
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+        return (idx, np.load(p_q), np.load(p_gt),
+                float(open(p_time).read()))
+
+    rng = np.random.RandomState(1)
+    n_cl = 16384
+    centers = rng.randn(n_cl, D).astype(np.float32) * 4.0
+    spectrum = (np.arange(1, D + 1) ** -0.5).astype(np.float32)
+    mix = rng.randn(D, D).astype(np.float32) / np.sqrt(D)
+
+    def gen(n, rs):
+        a = rs.randint(0, n_cl, n)
+        return centers[a] + (rs.randn(n, D).astype(np.float32)
+                             * spectrum) @ mix
+
+    qrs = np.random.RandomState(2)
+    queries = gen(S_NQ, qrs)
+    np.save(p_q, queries)
+
+    t_build = time.time()
+    if os.path.exists(p_cent):
+        idx.set_centroids(np.load(p_cent))
+    else:
+        log(f"scale: training nc={S_NC} centroids (hierarchical seed) ...")
+        learn = gen(2_000_000, np.random.RandomState(3))
+        idx.train_centroids(key, learn, niter=4)
+        np.save(p_cent, np.asarray(idx.centroids))
+        del learn
+        log(f"scale: centroids ready ({time.time()-t_build:.1f}s)")
+    if os.path.exists(p_pq):
+        idx.load_quantizers(p_pq, p_npq)
+    else:
+        learn = gen(262_144, np.random.RandomState(4))
+        idx.train_pq(key, learn)
+        idx.save_quantizers(p_pq, p_npq)
+        del learn
+        log(f"scale: quantizers ready ({time.time()-t_build:.1f}s)")
+
+    log(f"scale: streaming {S_NB} vectors (add + gt merge) ...")
+    qj = jnp.asarray(queries)
+    hp = jax.lax.Precision.HIGHEST
+    best_d = np.full((S_NQ, 1), np.inf, np.float32)
+    best_l = np.full((S_NQ, 1), -1, np.int64)
+    bs = 1_048_576
+    brs = np.random.RandomState(5)
+    for off in range(0, S_NB, bs):
+        blk = gen(min(bs, S_NB - off), brs)
+        idx.add_batch(blk, np.arange(off, off + blk.shape[0],
+                                     dtype=np.int32))
+        d_, i_ = streaming_topk_l2(qj, jnp.asarray(blk), 1, block=131_072,
+                                   precision=hp)
+        d_, i_ = np.asarray(d_), np.asarray(i_) + off
+        upd = d_[:, 0] < best_d[:, 0]
+        best_d[upd] = d_[upd]
+        best_l[upd] = i_[upd]
+        log(f"  scale: {off + blk.shape[0]}/{S_NB} "
+            f"({time.time()-t_build:.1f}s)")
+    idx.finalize()
+    build_s = time.time() - t_build
+    idx.write(p_idx)
+    np.save(p_gt, best_l)
+    with open(p_time, "w") as f:
+        f.write(str(build_s))
+    log(f"scale: index built in {build_s:.0f}s")
+    return idx, queries, np.load(p_gt), build_s
+
+
+# ---------------------------------------------------------------------------
+
+
+def timed_qps(idx, queries, params, runs=3, reshape=1024):
+    import jax
+    import jax.numpy as jnp
+    qdev = jnp.asarray(queries.reshape(-1, reshape, D))
+    d_, l_ = idx.search_device(qdev, params)
+    jax.block_until_ready(d_)
+    best = float("inf")
+    for r in range(runs):
+        t0 = time.perf_counter()
+        d_, l_ = idx.search_device(qdev, params)
+        jax.block_until_ready(d_)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"  run {r}: {dt*1e6/queries.shape[0]:.1f} us/query")
+    return queries.shape[0] / best, np.asarray(l_).reshape(
+        queries.shape[0], -1)
 
 
 def main():
@@ -102,27 +464,11 @@ def main():
         return
 
     import jax
-    import jax.numpy as jnp
-
-    from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
-    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
-    from ivfhnsw_tpu.ops.pq import ProductQuantizer, NormQuantizer
+    from ivfhnsw_tpu import SearchParams
     from ivfhnsw_tpu.utils.recall import recall_at_k
 
     os.makedirs(CACHE, exist_ok=True)
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-
-    base = queries = None
-    cfg = IndexConfig(d=D, nc=NC, code_size=CODE_SIZE)
-    idx = IVFADCIndex(cfg)
-    key = jax.random.PRNGKey(0)
-
-    p_cent = os.path.join(CACHE, "centroids.npy")
-    p_pq = os.path.join(CACHE, "bench.pq")
-    p_npq = os.path.join(CACHE, "bench.norm_pq")
-    p_idx = os.path.join(CACHE, "bench.index")
-    p_gt = os.path.join(CACHE, "gt.npy")
-    p_q = os.path.join(CACHE, "queries.npy")
 
     p_ver = os.path.join(CACHE, "corpus_version")
     cached_ver = (open(p_ver).read().strip()
@@ -130,105 +476,103 @@ def main():
     if cached_ver != str(CORPUS_VERSION):
         log(f"corpus version changed ({cached_ver!r} -> {CORPUS_VERSION}); "
             "rebuilding cache")
+        import shutil
         for f in os.listdir(CACHE):
             if f != "last_result.json":
-                os.remove(os.path.join(CACHE, f))
+                p = os.path.join(CACHE, f)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         with open(p_ver, "w") as f:
             f.write(str(CORPUS_VERSION))
 
-    need_build = not all(os.path.exists(p) for p in
-                         (p_cent, p_pq, p_npq, p_idx, p_gt, p_q))
-    if need_build:
-        base, queries, learn = make_data()
-        np.save(p_q, queries)
-        t0 = time.time()
-        if os.path.exists(p_cent):
-            idx.set_centroids(np.load(p_cent))
-        else:
-            log("training centroids ...")
-            idx.train_centroids(key, learn, niter=10)
-            np.save(p_cent, np.asarray(idx.centroids))
-        log(f"centroids ready ({time.time()-t0:.1f}s)")
+    key = jax.random.PRNGKey(0)
+    idx, queries, gt = build_primary(key)
+    result = {"metric": "ivfadc_search_qps_2M_nprobe32_mc10k",
+              "unit": "queries/s", "backend": jax.default_backend()}
 
-        if os.path.exists(p_pq):
-            idx.load_quantizers(p_pq, p_npq)
-        else:
-            log("training PQ ...")
-            idx.train_pq(key, learn[:65_536])
-            idx.save_quantizers(p_pq, p_npq)
-        log(f"quantizers ready ({time.time()-t0:.1f}s)")
-
-        if os.path.exists(p_idx):
-            idx.read(p_idx)
-        else:
-            log("adding base vectors ...")
-            bs = 262_144
-            for off in range(0, NB, bs):
-                idx.add_batch(base[off:off + bs],
-                              np.arange(off, min(off + bs, NB),
-                                        dtype=np.int32))
-                log(f"  added {min(off+bs, NB)}/{NB} ({time.time()-t0:.1f}s)")
-            idx.finalize()
-            idx.write(p_idx)
-        log(f"index ready ({time.time()-t0:.1f}s)")
-
-        if not os.path.exists(p_gt):
-            log("computing exact groundtruth ...")
-            gt = np.empty((NQ, 1), np.int64)
-            qb = 1024
-            hp = jax.lax.Precision.HIGHEST
-            basej = jnp.asarray(base)
-            for off in range(0, NQ, qb):
-                _, i_ = streaming_topk_l2(jnp.asarray(queries[off:off + qb]),
-                                          basej, 1, block=131_072,
-                                          precision=hp)
-                gt[off:off + qb] = np.asarray(i_)
-            del basej
-            np.save(p_gt, gt)
-            log(f"groundtruth ready ({time.time()-t0:.1f}s)")
-    else:
-        idx.set_centroids(np.load(p_cent))
-        idx.load_quantizers(p_pq, p_npq)
-        idx.read(p_idx)
-
-    queries = np.load(p_q)
-    gt = np.load(p_gt)
-
+    # --- primary timed runs (device-resident serving path; the CPU baseline
+    # has no transfer cost either — its data sits in RAM. The dev-tunnel's
+    # H2D is ~20 us/query of environment artifact, reported separately.)
     params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES)
-    log("warmup ...")
-    # Device-resident serving path (the reference CPU baseline has no
-    # transfer cost either — its data sits in RAM; the dev-tunnel's H2D is
-    # ~20 us/query of pure environment artifact, reported separately).
-    qdev = jnp.asarray(queries.reshape(-1, 1024, D))
-    d_, l_ = idx.search_device(qdev, params)
-    jax.block_until_ready(d_)
-    log("timed runs ...")
-    best = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        d_, l_ = idx.search_device(qdev, params)
-        jax.block_until_ready(d_)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        log(f"  run {r}: {dt*1e6/NQ:.1f} us/query")
-    qps = NQ / best
+    log("primary: warmup + timed runs ...")
+    qps, labels = timed_qps(idx, queries, params)
     t0 = time.perf_counter()
-    _, l_host = idx.search(queries, params)
+    _, _ = idx.search(queries, params)
     e2e = time.perf_counter() - t0
-    labels = np.asarray(l_).reshape(-1, K)
     rec = recall_at_k(labels, gt, ks=(1, 10))
 
-    result = {
-        "metric": "ivfadc_search_qps_2M_nprobe32_mc10k",
+    # --- R@100 + ceiling on a query subset
+    log("recall@100 + exact-ADC ceiling ...")
+    p100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES)
+    _, l100 = idx.search(queries[:CEIL_NQ], p100)
+    r100 = recall_at_k(l100, gt[:CEIL_NQ], ks=(1, 10, 100))
+    ceil = exact_adc_ceiling(idx, queries[:CEIL_NQ], gt, ks=(1, 10, 100))
+
+    # --- measured CPU baseline
+    cpu_us, cpu_r1 = measure_cpu_baseline(idx, queries, gt)
+    if cpu_us:
+        cpu_qps = 1e6 / cpu_us
+        result["vs_baseline"] = round(qps / cpu_qps, 3)
+        result["cpu_baseline_us_per_query"] = round(cpu_us, 2)
+        result["cpu_baseline_recall_at_1"] = round(cpu_r1, 4)
+    else:
+        result["vs_baseline"] = 0.0
+
+    result.update({
         "value": round(qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / CPU_BASELINE_QPS, 3),
         "us_per_query": round(1e6 / qps, 2),
         "end_to_end_us_per_query": round(e2e * 1e6 / NQ, 2),
         "recall_at_1": round(rec[1], 4),
         "recall_at_10": round(rec[10], 4),
-        "backend": jax.default_backend(),
-    }
+        "recall_at_100": round(r100[100], 4),
+        "recall_ceiling_at_1": round(ceil[1], 4),
+        "recall_ceiling_at_10": round(ceil[10], 4),
+        "recall_ceiling_at_100": round(ceil[100], 4),
+    })
+
+    # --- grouping + OPQ (flagship config)
+    try:
+        log("grouping: build/load ...")
+        gidx = build_grouping(key)
+        gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
+                          do_pruning=True)
+        log("grouping: warmup + timed runs ...")
+        t0 = time.perf_counter()
+        _, gl = gidx.search(queries, gp)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, gl = gidx.search(queries, gp)
+        g_dt = time.perf_counter() - t0
+        grec = recall_at_k(gl, gt, ks=(1, 10))
+        result.update({
+            "grouping_qps": round(NQ / g_dt, 1),
+            "grouping_us_per_query": round(g_dt * 1e6 / NQ, 2),
+            "grouping_recall_at_1": round(grec[1], 4),
+            "grouping_recall_at_10": round(grec[10], 4),
+        })
+    except Exception as e:  # keep the primary result robust
+        log(f"grouping bench failed: {type(e).__name__}: {e}")
+        result["grouping_error"] = str(e)[:200]
+
+    # --- scale point (nc=2^17, 20M vectors, canonical nprobe)
+    try:
+        log("scale: build/load ...")
+        sidx, sq, sgt, build_s = build_scale(key)
+        sp = SearchParams(k=K, nprobe=S_NPROBE, max_codes=S_MC)
+        log("scale: warmup + timed runs ...")
+        s_qps, s_labels = timed_qps(sidx, sq, sp, runs=2, reshape=512)
+        srec = recall_at_k(s_labels, sgt, ks=(1, 10))
+        result.update({
+            "scale_nb": S_NB, "scale_nc": S_NC,
+            "scale_qps_nprobe128": round(s_qps, 1),
+            "scale_us_per_query": round(1e6 / s_qps, 2),
+            "scale_recall_at_1": round(srec[1], 4),
+            "scale_recall_at_10": round(srec[10], 4),
+            "scale_build_seconds": round(build_s, 1),
+        })
+    except Exception as e:
+        log(f"scale bench failed: {type(e).__name__}: {e}")
+        result["scale_error"] = str(e)[:200]
+
     with open(os.path.join(CACHE, "last_result.json"), "w") as f:
         json.dump(result, f)
     print(json.dumps(result))

@@ -66,15 +66,23 @@ def train_opq(key, data, M: int, niter: int = 25, niter_pq: int = 4,
 
 
 def save_rotation(path: str, R) -> None:
-    import numpy as np
-    R = np.asarray(R, "<f4")
-    with open(path, "wb") as f:
-        np.asarray([R.shape[0]], "<u4").tofile(f)
-        R.tofile(f)
+    """faiss write_VectorTransform layout (generic LinearTransform, the
+    record faiss::OPQMatrix serializes to), so .opq artifacts interchange
+    with the reference (test_ivfhnsw_sift1b.cpp:61,86). A == R because
+    faiss applies y = A @ x and we apply x @ R.T."""
+    from ivfhnsw_tpu.utils import faiss_io
+    faiss_io.write_linear_transform(path, R)
 
 
 def load_rotation(path: str):
     import numpy as np
+    from ivfhnsw_tpu.utils import faiss_io
+    if faiss_io.is_faiss_vector_transform(path):
+        A, b = faiss_io.read_vector_transform(path)
+        if b is not None:
+            raise ValueError("OPQ rotation with bias is not supported")
+        return jnp.asarray(A)
+    # legacy [u32 d | f32 R]
     with open(path, "rb") as f:
         d = int(np.fromfile(f, "<u4", 1)[0])
         R = np.fromfile(f, "<f4", d * d).reshape(d, d)

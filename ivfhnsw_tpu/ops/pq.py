@@ -93,20 +93,28 @@ class ProductQuantizer:
         return _pq_ip_luts(jnp.asarray(q, jnp.float32), self.codebooks,
                            precision=precision)
 
-    # -- IO (our own format: [u32 d | u32 M | u32 ksub | codebook f32 blob]) --
+    # -- IO: faiss write_ProductQuantizer byte layout, so .pq artifacts
+    # interchange with the reference (test_ivfhnsw_sift1b.cpp:57-89);
+    # load() also sniffs the round-1 legacy header for old caches. --
 
     def save(self, path: str) -> None:
-        with open(path, "wb") as f:
-            np.asarray([self.d, self.M, self.ksub], "<u4").tofile(f)
-            np.asarray(self.codebooks, "<f4").tofile(f)
+        from ivfhnsw_tpu.utils import faiss_io
+        faiss_io.write_product_quantizer(path, self.codebooks)
 
     @classmethod
     def load(cls, path: str) -> "ProductQuantizer":
-        with open(path, "rb") as f:
-            d, M, ksub = (int(v) for v in np.fromfile(f, "<u4", 3))
-            pq = cls(d, M, ksub)
-            cb = np.fromfile(f, "<f4", M * ksub * (d // M))
-        pq.codebooks = jnp.asarray(cb.reshape(M, ksub, d // M))
+        from ivfhnsw_tpu.utils import faiss_io
+        if faiss_io.is_faiss_pq(path):
+            cb = faiss_io.read_product_quantizer(path)
+            M, ksub, dsub = cb.shape
+            pq = cls(M * dsub, M, ksub)
+        else:  # legacy [u32 d | u32 M | u32 ksub | f32 blob]
+            with open(path, "rb") as f:
+                d, M, ksub = (int(v) for v in np.fromfile(f, "<u4", 3))
+                pq = cls(d, M, ksub)
+                cb = np.fromfile(f, "<f4",
+                                 M * ksub * (d // M)).reshape(M, ksub, d // M)
+        pq.codebooks = jnp.asarray(cb)
         return pq
 
 
@@ -136,14 +144,22 @@ class NormQuantizer:
         return self.centroids[jnp.asarray(codes, jnp.int32)]
 
     def save(self, path: str) -> None:
-        with open(path, "wb") as f:
-            np.asarray([self.ksub], "<u4").tofile(f)
-            np.asarray(self.centroids, "<f4").tofile(f)
+        """faiss layout: the reference's norm quantizer is a
+        ProductQuantizer(1, 1, 8), i.e. d=M=1, nbits=8, 256 centroids."""
+        from ivfhnsw_tpu.utils import faiss_io
+        faiss_io.write_product_quantizer(
+            path, np.asarray(self.centroids, np.float32).reshape(1, -1, 1))
 
     @classmethod
     def load(cls, path: str) -> "NormQuantizer":
-        with open(path, "rb") as f:
-            ksub = int(np.fromfile(f, "<u4", 1)[0])
-            nq = cls(ksub)
-            nq.centroids = jnp.asarray(np.fromfile(f, "<f4", ksub))
+        from ivfhnsw_tpu.utils import faiss_io
+        if faiss_io.is_faiss_pq(path):
+            cb = faiss_io.read_product_quantizer(path)
+            nq = cls(cb.shape[1])
+            nq.centroids = jnp.sort(jnp.asarray(cb.reshape(-1)))
+        else:  # legacy [u32 ksub | f32 blob]
+            with open(path, "rb") as f:
+                ksub = int(np.fromfile(f, "<u4", 1)[0])
+                nq = cls(ksub)
+                nq.centroids = jnp.asarray(np.fromfile(f, "<f4", ksub))
         return nq
