@@ -52,6 +52,55 @@ def test_vector_add_driver():
     assert len(res) == 3
     # Recall grows (or holds) as segments accumulate.
     assert res[-1]["recalls"][10] >= res[0]["recalls"][10]
+    # Appends are linear: each segment adds exactly its own vectors.
+    assert [r["ntotal"] for r in res] == [1667, 3334, 5000]
+
+
+def test_vector_add_consumes_idx_segments(monkeypatch):
+    """The driver must use the precomputed-idx segment files: poison
+    index.assign after setup and verify the segment loop never calls it
+    (reference pairs bigann_base_NN.bvecs with precomputed_idxs_*_NN.ivecs,
+    test_ivfhnsw_grouping_sift1b_vector_add.cpp:97-127)."""
+    import os
+    import tempfile
+    import jax
+    from ivfhnsw_tpu import IVFADCGroupingIndex, IndexConfig
+    from ivfhnsw_tpu.drivers import common as C
+    from ivfhnsw_tpu.drivers import vector_add as VA
+    from ivfhnsw_tpu.utils import io
+
+    sys.argv = ["driver"] + (COMMON + " -nsubc 4").split()
+    cfg, extras = C.parse_driver_args(("synthetic",))
+    ds = C.get_dataset(cfg, 0)
+    helper = IVFADCGroupingIndex(cfg.index)
+    C.setup_quantizer(helper, cfg, ds, jax.random.PRNGKey(0))
+    seg_dir = tempfile.mkdtemp(prefix="va_idx_")
+    per = -(-ds.base.shape[0] // 2)
+    for i in range(2):
+        blk = ds.base[i * per:(i + 1) * per]
+        io.write_xvec(os.path.join(seg_dir, f"base_{i:02d}.fvecs"), blk)
+        idxs = helper.assign(blk).astype("<u4")
+        with open(os.path.join(seg_dir, f"precomputed_idxs_{i:02d}.ivecs"),
+                  "wb") as f:
+            np.asarray([idxs.size], "<u4").tofile(f)
+            idxs.tofile(f)
+
+    calls = {"n": 0}
+    orig_assign = IVFADCGroupingIndex.assign
+
+    def counting_assign(self, x, batch=None):
+        calls["n"] += 1
+        return orig_assign(self, x, batch)
+
+    monkeypatch.setattr(IVFADCGroupingIndex, "assign", counting_assign)
+    sys.argv = ["driver"] + (COMMON
+                             + f" -nsubc 4 -segment_dir {seg_dir}").split()
+    res = VA.main()
+    assert len(res) == 2
+    # assign() may run during quantizer/PQ setup, but the segment loop uses
+    # the idx files: exactly zero assigns after setup would be ideal, but
+    # setup_pq assigns the train set — so bound the count instead.
+    assert calls["n"] <= 1
 
 
 def test_mkindex_driver(tmp_path):
