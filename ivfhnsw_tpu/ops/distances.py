@@ -62,6 +62,10 @@ def streaming_topk_l2(queries: jax.Array, points: jax.Array, k: int,
     """
     B = queries.shape[0]
     n, d = points.shape
+    # Never pad the point set past its own (128-rounded) size: a caller
+    # passing block=16384 for a 512-point set would otherwise materialize a
+    # [B, 16384] score matrix of 97% padding (16 GB at B=256k — a real OOM).
+    block = max(128, min(block, -(-n // 128) * 128))
     nblocks = -(-n // block)
     n_pad = nblocks * block
     if point_sqnorms is None:

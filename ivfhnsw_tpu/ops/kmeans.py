@@ -174,6 +174,10 @@ def kmeans(key, data, k: int, niter: int = 25, block_c: int = 16384,
     n, d = data.shape
     if n < k:
         raise ValueError(f"kmeans: n={n} < k={k}")
+    # Cap the per-step [block_n, block_c] score matrix at ~1 GB f32 — at
+    # k=2^17+ an uncapped 131072 x 16384 block OOMs the 16 GB HBM.
+    eff_c = max(128, min(block_c, -(-k // 128) * 128))
+    block_n = min(block_n, max(1024, (1 << 28) // eff_c))
     block_n = min(block_n, max(8, n))
     nb = -(-n // block_n)
     n_pad = nb * block_n

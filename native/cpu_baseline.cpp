@@ -87,11 +87,18 @@ inline float l2sqr(const float* a, const float* b, int d) {
   return s;
 }
 
-// Exact kNN graph over the centroids (degree = deg). One-time build cost,
-// excluded from the timed query loop (the reference likewise builds/loads
-// its quantizer graph outside the search timing).
-std::vector<int32_t> build_knn_graph(const Blob& b, int deg) {
-  std::vector<int32_t> graph((size_t)b.nc * deg);
+// Navigable graph over the centroids: exact candidate pools diversified
+// with the standard relative-neighborhood heuristic (keep a candidate only
+// if it is closer to the node than to every already-kept neighbor — the
+// rule hnswlib's getNeighborsByHeuristic implements), plus capped reverse
+// edges. A plain kNN graph is NOT greedily navigable (clusters disconnect);
+// diversified edges restore the reference quantizer's search quality.
+// One-time build cost, excluded from the timed query loop (the reference
+// likewise builds/loads its graph outside the search timing).
+std::vector<int32_t> build_nav_graph(const Blob& b, int deg, int* out_deg) {
+  const int maxdeg = 2 * deg;  // reference level0 maxM = 2*M
+  const int pool = 4 * maxdeg;
+  std::vector<std::vector<int32_t>> adj(b.nc);
   std::vector<std::pair<float, int32_t>> cand(b.nc);
   for (int i = 0; i < b.nc; ++i) {
     const float* ci = &b.centroids[(size_t)i * b.d];
@@ -99,9 +106,36 @@ std::vector<int32_t> build_knn_graph(const Blob& b, int deg) {
       cand[j] = {j == i ? 1e30f : l2sqr(ci, &b.centroids[(size_t)j * b.d], b.d),
                  j};
     }
-    std::partial_sort(cand.begin(), cand.begin() + deg, cand.end());
-    for (int j = 0; j < deg; ++j) graph[(size_t)i * deg + j] = cand[j].second;
+    int npool = std::min(pool, b.nc - 1);
+    std::partial_sort(cand.begin(), cand.begin() + npool, cand.end());
+    auto& kept = adj[i];
+    for (int j = 0; j < npool && (int)kept.size() < deg; ++j) {
+      const float* cj = &b.centroids[(size_t)cand[j].second * b.d];
+      bool ok = true;
+      for (int32_t kn : kept) {
+        if (l2sqr(cj, &b.centroids[(size_t)kn * b.d], b.d) <
+            cand[j].first) {
+          ok = false;
+          break;
+        }
+      }
+      if (ok) kept.push_back(cand[j].second);
+    }
   }
+  // Reverse edges, capped at maxdeg (weakest-edge style: just cap).
+  for (int i = 0; i < b.nc; ++i) {
+    for (int32_t j : std::vector<int32_t>(adj[i])) {
+      auto& aj = adj[j];
+      if ((int)aj.size() < maxdeg &&
+          std::find(aj.begin(), aj.end(), i) == aj.end()) {
+        aj.push_back(i);
+      }
+    }
+  }
+  std::vector<int32_t> graph((size_t)b.nc * maxdeg, -1);
+  for (int i = 0; i < b.nc; ++i)
+    std::copy(adj[i].begin(), adj[i].end(), &graph[(size_t)i * maxdeg]);
+  *out_deg = maxdeg;
   return graph;
 }
 
@@ -135,6 +169,7 @@ struct Coarse {
       const int32_t* nbrs = &graph[(size_t)node * deg];
       for (int j = 0; j < deg; ++j) {
         int32_t n = nbrs[j];
+        if (n < 0) break;
         if (visited[n] == epoch) continue;
         visited[n] = epoch;
         float dn = l2sqr(q, &b.centroids[(size_t)n * b.d], b.d);
@@ -163,12 +198,13 @@ int main(int argc, char** argv) {
     return 1;
   }
   Blob b = read_blob(argv[1]);
-  const int deg = argc > 3 ? atoi(argv[3]) : 16;
+  const int m_graph = argc > 3 ? atoi(argv[3]) : 16;
   const int dsub = b.d / b.M;
 
-  fprintf(stderr, "building centroid kNN graph (nc=%d, deg=%d)...\n", b.nc,
-          deg);
-  auto graph = build_knn_graph(b, deg);
+  fprintf(stderr, "building centroid nav graph (nc=%d, M=%d)...\n", b.nc,
+          m_graph);
+  int deg = 0;
+  auto graph = build_nav_graph(b, m_graph, &deg);
   std::vector<float> cnorms(b.nc);
   for (int c = 0; c < b.nc; ++c) {
     const float* p = &b.centroids[(size_t)c * b.d];
