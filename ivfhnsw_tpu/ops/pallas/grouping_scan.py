@@ -8,14 +8,18 @@ twists (IndexIVF_HNSW_Grouping.cpp:188-363):
   within one group, and tile row SUBC_ROW carries each position's
   subcentroid index — storage.PostingListStore.tiled_grouped);
 - term1 = (1-a)(||q-c||^2 - ||c||^2) is the per-chunk scalar bias;
-- term2 = a(||q-n||^2 - ||n||^2) differs per subcentroid: the kernel gathers
-  it per lane from a per-(query, probe) 256-entry table delivered as an
-  input block whose index map reads the scalar-prefetched chunk->probe
-  mapping. **Pruning and empty subgroups are folded into this table as
-  +inf**, so the masked-compute semantics of the XLA engine are preserved
-  bit-for-bit while the scan stays branch-free;
+- term2 = a(||q-n||^2 - ||n||^2) differs per subcentroid: each query's FULL
+  per-probe term2 table ([P, 256] f32, +inf on pruned/empty lanes) sits in
+  a VMEM block revisited across that query's chunks; each chunk dynamically
+  slices its probe's row (seg from SMEM) and gathers it by the tile's
+  subcentroid row. **Pruning and empty subgroups are folded into the table
+  as +inf**, so the masked-compute semantics of the XLA engine are
+  preserved bit-for-bit while the scan stays branch-free;
 - the max_codes budget is probe-granular over *unpruned* sizes, matching
-  the reference's ncode accounting (:302-353).
+  the reference's ncode accounting (:302-353);
+- like adc_scan, each grid step processes CPS chunks with a DEPTH-slot
+  rolling DMA pipeline (the round-1 kernel ran one chunk per step and paid
+  ~3x the per-chunk fixed cost).
 """
 
 from __future__ import annotations
@@ -27,8 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ivfhnsw_tpu.ops.pallas.adc_scan import (CHUNK, DEPTH, LUT_ROWS, TL_PACK,
-                                             build_luts_ext)
+from ivfhnsw_tpu.ops.pallas.adc_scan import (CHUNK, CPS, DEPTH, LUT_ROWS,
+                                             TL_PACK, build_luts_ext)
 from ivfhnsw_tpu.ops.topk import topk_smallest
 
 SUBC_ROW = 17
@@ -69,80 +73,89 @@ def grouping_chunk_metadata(probes, term1, eff_sizes, scan_sizes,
 
 def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
                      out_ref, scratch, sems):
+    """CPS chunks per grid step; t2_ref holds the query's whole per-probe
+    term2 table [1, P_pad, 256] (revisited), sliced per chunk by seg."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
-    nch = pl.num_programs(1)
+    nsteps = pl.num_programs(1)
+    nch = nsteps * CPS
 
     def dma(slot, t):
         return pltpu.make_async_copy(tiles_hbm.at[t], scratch.at[slot],
                                      sems.at[slot])
 
-    g = b * nch + j
-    slot = jax.lax.rem(g, DEPTH)
-
     def start_for(gg):
         bb = gg // nch
-        jj = jax.lax.rem(gg, nch)
-        tl = tl_smem[bb, jj]
+        cc = jax.lax.rem(gg, nch)
+        tl = tl_smem[bb, cc]
 
         @pl.when(jax.lax.rem(tl, TL_PACK) > 0)
         def _():
             dma(jax.lax.rem(gg, DEPTH), tl // TL_PACK).start()
 
-    @pl.when(g == 0)
+    g0 = b * nch + j * CPS
+
+    @pl.when(g0 == 0)
     def _():
-        for w in range(DEPTH - 1):
+        for w in range(DEPTH - CPS):
             @pl.when(w < nb * nch)
             def _():
                 start_for(jnp.int32(w))
 
-    @pl.when(g + DEPTH - 1 < nb * nch)
-    def _():
-        start_for(g + DEPTH - 1)
+    for i in range(CPS):
+        @pl.when(g0 + DEPTH - CPS + i < nb * nch)
+        def _():
+            start_for(g0 + DEPTH - CPS + i)
 
-    tl = tl_smem[b, j]
-    ln = jax.lax.rem(tl, TL_PACK)
+    lut = luts_ref[0]                                  # [24, 256]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
 
-    @pl.when(ln > 0)
-    def _():
-        dma(slot, tl // TL_PACK).wait()
-        idx = scratch[slot].astype(jnp.int32)              # [24, 256]
-        lut = luts_ref[0]                                  # [24, 256]
-        lut0, lut1 = lut[:, :128], lut[:, 128:]
+    def half(tab0, tab1, idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(tab0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(tab1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
 
-        def half(tab0, tab1, idx_h):
-            idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
-            g0 = jnp.take_along_axis(tab0, idxm, axis=1,
-                                     mode="promise_in_bounds")
-            g1 = jnp.take_along_axis(tab1, idxm, axis=1,
-                                     mode="promise_in_bounds")
-            return jnp.where(idx_h < 128, g0, g1)
+    for i in range(CPS):
+        c = j * CPS + i
+        g = g0 + i
+        tl = tl_smem[b, c]
+        ln = jax.lax.rem(tl, TL_PACK)
 
-        gsum = jnp.concatenate(
-            [half(lut0, lut1, idx[:, :128]), half(lut0, lut1, idx[:, 128:])],
-            axis=1)
-        t = jnp.sum(gsum, axis=0, keepdims=True)           # [1, 256]
+        @pl.when(ln > 0)
+        def _():
+            dma(jax.lax.rem(g, DEPTH), tl // TL_PACK).wait()
+            idx = scratch[jax.lax.rem(g, DEPTH)].astype(jnp.int32)  # [24,256]
+            gsum = jnp.concatenate(
+                [half(lut0, lut1, idx[:, :128]),
+                 half(lut0, lut1, idx[:, 128:])], axis=1)
+            t = jnp.sum(gsum, axis=0, keepdims=True)    # [1, 256]
 
-        # term2 per lane: gather the chunk's probe table by subcentroid id.
-        # Mosaic rejects gathers whose index derives from a row-slice of the
-        # dynamically-indexed scratch read, so gather with the FULL 24-row
-        # idx against a row-replicated table and extract the subc row.
-        t2tab = pltpu.repeat(t2_ref[0], LUT_ROWS, axis=0)     # [24, 256]
-        t2g = half(t2tab[:, :128], t2tab[:, 128:], idx[:, :128])
-        t2g2 = half(t2tab[:, :128], t2tab[:, 128:], idx[:, 128:])
-        t2 = jnp.concatenate([t2g, t2g2],
-                             axis=1)[SUBC_ROW:SUBC_ROW + 1]   # [1, 256]
+            # term2 per lane: slice this chunk's probe row from the
+            # query-resident table, then gather by subcentroid id. Mosaic
+            # rejects gathers whose index derives from a row-slice of a
+            # dynamically-indexed scratch read, so gather with the FULL
+            # 24-row idx against a row-replicated table and extract the
+            # subc row.
+            t2row = t2_ref[0, pl.ds(seg_smem[b, c], 1), :]
+            t2tab = pltpu.repeat(t2row, LUT_ROWS, axis=0)   # [24, 256]
+            t2g = half(t2tab[:, :128], t2tab[:, 128:], idx[:, :128])
+            t2g2 = half(t2tab[:, :128], t2tab[:, 128:], idx[:, 128:])
+            t2 = jnp.concatenate([t2g, t2g2],
+                                 axis=1)[SUBC_ROW:SUBC_ROW + 1]  # [1, 256]
 
-        dist = t + t2
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.where(
-            lane < ln, dist, jnp.inf)[0]
+            dist = t + t2
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.where(
+                lane < ln, dist, jnp.inf)[0]
 
-    @pl.when(ln == 0)
-    def _():
-        out_ref[0, 0, pl.ds(j * CHUNK, CHUNK)] = jnp.full(
-            (CHUNK,), jnp.inf, jnp.float32)
+        @pl.when(ln == 0)
+        def _():
+            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.full(
+                (CHUNK,), jnp.inf, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -150,21 +163,25 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
                         interpret: bool = False):
     """term2_tab [B, P, 256] f32 (+inf on pruned/empty/invalid lanes).
     Returns dists [B, nch*CHUNK]."""
-    B, nch = tl.shape
+    B, nch_orig = tl.shape
+    nch = nch_orig
     P = term2_tab.shape[1]
-    # Flatten to [B*P, 1, 256] so the (1, 256) block equals the trailing
-    # array dims (Mosaic's block-shape rule), indexed via the
-    # scalar-prefetched chunk->probe mapping.
-    term2_tab = term2_tab.reshape(B * P, 1, 256)
+    P_pad = -(-P // 8) * 8   # sublane-aligned VMEM block
+    if P_pad != P:
+        term2_tab = jnp.pad(term2_tab, ((0, 0), (0, P_pad - P), (0, 0)),
+                            constant_values=jnp.inf)
+    if nch % CPS:
+        pad = CPS - nch % CPS
+        tl = jnp.pad(tl, ((0, 0), (0, pad)))
+        seg = jnp.pad(seg, ((0, 0), (0, pad)))
+        nch += pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, nch),
+        grid=(B, nch // CPS),
         in_specs=[
             pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 256),
-                         lambda b, j, tl_ref, seg_ref:
-                         (b * P + seg_ref[b, j], 0, 0),
+            pl.BlockSpec((1, P_pad, 256), lambda b, j, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -184,7 +201,7 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, seg, luts_ext, term2_tab, tiles)
-    return out.reshape(B, nch * CHUNK)
+    return out.reshape(B, nch * CHUNK)[:, :nch_orig * CHUNK]
 
 
 @functools.partial(
