@@ -43,8 +43,11 @@ from ivfhnsw_tpu.ops.topk import topk_smallest
 CHUNK = 256
 LUT_ROWS = 24  # 16 PQ subquantizers + 1 norm row + 7 pad rows
 NORM_ROW = 16  # row index of the norm-decode table
-CPS = 4        # chunks processed per grid step (amortizes fixed step costs)
-DEPTH = 12     # DMA pipeline slots; must exceed 2*CPS for safe slot reuse
+CPS = 8        # chunks processed per grid step (amortizes fixed step costs);
+               # also the out-block sublane count — 8 satisfies the (8,128)
+               # tile rule, so chunk stores are static row writes
+DEPTH = 32     # DMA pipeline slots; must exceed 2*CPS for safe slot reuse;
+               # power of 2 so the slot modulo is a mask, not a division
 TL_PACK = 512  # packed metadata: value = tile_idx * TL_PACK + chunk_len;
                # bounds per-shard tiles to 2^31/512 = 4.2M (1.07B codes)
 
@@ -174,13 +177,11 @@ def _adc_kernel(tl_smem,   # scalar prefetch: packed tile*TL_PACK + len
                                  axis=1)
             t = jnp.sum(gg, axis=0, keepdims=True)         # [1, 256]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.where(
-                lane < ln, t, jnp.inf)[0]
+            out_ref[0, i, :] = jnp.where(lane < ln, t, jnp.inf)[0]
 
         @pl.when(ln == 0)
         def _():
-            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.full(
-                (CHUNK,), jnp.inf, jnp.float32)
+            out_ref[0, i, :] = jnp.full((CHUNK,), jnp.inf, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -208,10 +209,12 @@ def adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        # One [1, 1, nch*CHUNK] block per query, revisited across the chunk
-        # grid dimension (satisfies the (8,128)-divisible-or-full rule).
-        out_specs=pl.BlockSpec((1, 1, nch * CHUNK),
-                               lambda b, j, *_: (b, 0, 0),
+        # One [1, CPS, CHUNK] block per grid step: CPS=8 sublanes x 256
+        # lanes meets the (8,128) tile rule, and each chunk's result is a
+        # STATIC row write (dynamic lane-offset stores into one big
+        # revisited block cost a lane rotation per chunk).
+        out_specs=pl.BlockSpec((1, CPS, CHUNK),
+                               lambda b, j, *_: (b, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((DEPTH, LUT_ROWS, CHUNK), jnp.uint8),
@@ -221,12 +224,12 @@ def adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
     out = pl.pallas_call(
         _adc_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, nch * CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nch, CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, luts_ext, tiles)
-    out = out.reshape(B, nch, CHUNK) + chunk_bias[:, :, None]
+    out = out + chunk_bias[:, :, None]
     return out.reshape(B, nch * CHUNK)
 
 

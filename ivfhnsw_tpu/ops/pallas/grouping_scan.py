@@ -72,9 +72,18 @@ def grouping_chunk_metadata(probes, term1, eff_sizes, scan_sizes,
 
 
 def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
-                     out_ref, scratch, sems):
+                     out_ref, scratch, tab_scratch, sems):
     """CPS chunks per grid step; t2_ref holds the query's whole per-probe
-    term2 table [1, P_pad, 256] (revisited), sliced per chunk by seg."""
+    term2 table [1, P_pad, 256] (revisited), sliced per chunk by seg.
+
+    The chunk body does ONE gather pass, like the IVFADC kernel: the query's
+    LUT is copied once into a scratch table whose SUBC_ROW is overwritten
+    per chunk with the probe's term2 row. Tile row SUBC_ROW carries each
+    position's subcentroid id, so the 24-row gather-sum picks up
+    term2[subc[lane]] along with term3 and the norm decode — +inf on pruned
+    subcentroid lanes propagates through the sum, preserving the masked
+    semantics. (The previous version gathered term2 in a second full pass
+    against a row-replicated table — ~2x the per-chunk VPU work.)"""
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -108,8 +117,9 @@ def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
         def _():
             start_for(g0 + DEPTH - CPS + i)
 
-    lut = luts_ref[0]                                  # [24, 256]
-    lut0, lut1 = lut[:, :128], lut[:, 128:]
+    @pl.when(j == 0)
+    def _():
+        tab_scratch[:] = luts_ref[0]                   # [24, 256]
 
     def half(tab0, tab1, idx_h):
         idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
@@ -129,33 +139,19 @@ def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
         def _():
             dma(jax.lax.rem(g, DEPTH), tl // TL_PACK).wait()
             idx = scratch[jax.lax.rem(g, DEPTH)].astype(jnp.int32)  # [24,256]
+            tab_scratch[SUBC_ROW:SUBC_ROW + 1, :] = (
+                t2_ref[0, pl.ds(seg_smem[b, c], 1), :])
+            tab = tab_scratch[:]
             gsum = jnp.concatenate(
-                [half(lut0, lut1, idx[:, :128]),
-                 half(lut0, lut1, idx[:, 128:])], axis=1)
-            t = jnp.sum(gsum, axis=0, keepdims=True)    # [1, 256]
-
-            # term2 per lane: slice this chunk's probe row from the
-            # query-resident table, then gather by subcentroid id. Mosaic
-            # rejects gathers whose index derives from a row-slice of a
-            # dynamically-indexed scratch read, so gather with the FULL
-            # 24-row idx against a row-replicated table and extract the
-            # subc row.
-            t2row = t2_ref[0, pl.ds(seg_smem[b, c], 1), :]
-            t2tab = pltpu.repeat(t2row, LUT_ROWS, axis=0)   # [24, 256]
-            t2g = half(t2tab[:, :128], t2tab[:, 128:], idx[:, :128])
-            t2g2 = half(t2tab[:, :128], t2tab[:, 128:], idx[:, 128:])
-            t2 = jnp.concatenate([t2g, t2g2],
-                                 axis=1)[SUBC_ROW:SUBC_ROW + 1]  # [1, 256]
-
-            dist = t + t2
+                [half(tab[:, :128], tab[:, 128:], idx[:, :128]),
+                 half(tab[:, :128], tab[:, 128:], idx[:, 128:])], axis=1)
+            dist = jnp.sum(gsum, axis=0, keepdims=True)    # [1, 256]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.where(
-                lane < ln, dist, jnp.inf)[0]
+            out_ref[0, i, :] = jnp.where(lane < ln, dist, jnp.inf)[0]
 
         @pl.when(ln == 0)
         def _():
-            out_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = jnp.full(
-                (CHUNK,), jnp.inf, jnp.float32)
+            out_ref[0, i, :] = jnp.full((CHUNK,), jnp.inf, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -185,18 +181,21 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, nch * CHUNK),
-                               lambda b, j, *_: (b, 0, 0),
+        # Static per-chunk row stores into a [1, CPS, CHUNK] block — see
+        # adc_scan.adc_scan_tiles for the layout rationale.
+        out_specs=pl.BlockSpec((1, CPS, CHUNK),
+                               lambda b, j, *_: (b, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((DEPTH, LUT_ROWS, CHUNK), jnp.uint8),
+            pltpu.VMEM((LUT_ROWS, 256), jnp.float32),
             pltpu.SemaphoreType.DMA((DEPTH,)),
         ],
     )
     out = pl.pallas_call(
         _grouping_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, nch * CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nch, CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,

@@ -84,7 +84,7 @@ print("batch kernel survived all scales")
 """
 
 STAGES = {
-    "health": (HEALTH, 60),
+    "health": (HEALTH, 180),  # device-claim handover alone can take ~60s
     "pallas": (PALLAS_SMALL, 420),
     "grouping": (GROUPING, 420),
     "batch": (BATCH, 420),
