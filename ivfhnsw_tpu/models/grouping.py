@@ -574,6 +574,25 @@ class IVFADCGroupingIndex(IVFADCIndex):
                                   "included": inc, "n_scanned": nsc}
         return out_d, out_l
 
+    def search_device(self, queries_dev, params: SearchParams):
+        """Serving fast path (mirrors IVFADCIndex.search_device): device-
+        resident queries [N, d] (split into SMEM-safe sub-batches; N must
+        divide) or pre-shaped [G, B, d]; one fused launch, device outputs —
+        no host transfers."""
+        from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
+        nprobe = min(params.nprobe, self.nc)
+        args, kw = self._grouping_pallas_setup(params, nprobe)
+        if queries_dev.ndim == 2:
+            cap = max(8, min(512, (512 << 10) // (8 * max(kw["nch"], 1))
+                             // 8 * 8))
+            B = 1 << (cap.bit_length() - 1)  # power of 2 so halving divides
+            n = queries_dev.shape[0]
+            while n % B:
+                B //= 2
+            queries_dev = queries_dev.reshape(-1, B, queries_dev.shape[1])
+        return gs.grouping_pallas_search_many(
+            queries_dev, *args, jnp.int32(params.max_codes), **kw)
+
     def search_disk(self, queries, params: SearchParams, base_file: io.XvecFile):
         """searchDisk (:365-395): ANN search for 2k candidates, exact L2
         rerank against the raw base file, distance-then-label tiebreak."""

@@ -514,7 +514,8 @@ class IVFADCIndex:
         nprobe = min(params.nprobe, self.nc)
         nch = self._pallas_nch(params, nprobe)
         if queries_dev.ndim == 2:
-            B = self._pallas_batch_cap(nch)
+            cap = self._pallas_batch_cap(nch)
+            B = 1 << (cap.bit_length() - 1)  # power of 2 so halving divides
             n = queries_dev.shape[0]
             while n % B:
                 B //= 2

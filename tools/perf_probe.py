@@ -1,8 +1,13 @@
 """Component-level perf probe for the Pallas search engines on the real TPU.
 
-Times, separately: coarse+LUT+metadata, the scan kernel, and top-k — plus
-the full fused path — at the bench operating point, so optimization work
-targets the measured bottleneck instead of a guess.
+Times, separately: coarse+LUT+metadata, the scan kernel, top-k variants, the
+full fused path, and the grouping engine — at the bench operating point, so
+optimization work targets the measured bottleneck instead of a guess.
+
+Dispatch through the remote-TPU tunnel costs ~10-20 ms per launch, which
+swamps single-launch timings. Every stage is therefore timed MARGINALLY:
+dispatch R launches back-to-back (async), block once, and report
+(t_R - t_1) / (R - 1) — the steady-state device time per launch.
 
 Run AFTER bench.py has populated .bench_cache (it reuses the cached index).
 Wedge discipline: health-probe first; run stages under timeout externally.
@@ -21,17 +26,22 @@ sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, ".bench_cache")
 
 
-def t_ms(fn, *args, runs=3):
+def marginal_ms(fn, *args, repeat=5):
+    """Steady-state device ms per launch: (t_R - t_1)/(R-1) with async
+    dispatch and a single block at the end of each bundle."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3, out
+
+    def bundle(r):
+        outs = [fn(*args) for _ in range(r)]
+        jax.block_until_ready(outs)
+
+    bundle(1)  # compile + warm
+    best1 = min((lambda: (lambda t0: (bundle(1), time.perf_counter() - t0)[1])(
+        time.perf_counter()))() for _ in range(2))
+    bestR = min((lambda: (lambda t0: (bundle(repeat),
+                                      time.perf_counter() - t0)[1])(
+        time.perf_counter()))() for _ in range(2))
+    return (bestR - best1) / (repeat - 1) * 1e3
 
 
 def main():
@@ -55,7 +65,6 @@ def main():
     queries = np.load(os.path.join(CACHE, "queries.npy"))[:B]
     q = jnp.asarray(queries)
 
-    tiled = idx._ensure_store().tiled()
     nch = idx._pallas_nch(SearchParams(k=K, nprobe=NPROBE,
                                        max_codes=MAX_CODES), NPROBE)
     args = idx._pallas_args()
@@ -70,7 +79,7 @@ def main():
         return pk.pallas_search_core(
             q, *args, mc, nprobe=NPROBE, k=K, nch=nch,
             coarse_block=4096, use_opq=False)
-    ms, _ = t_ms(full, q)
+    ms = marginal_ms(full, q)
     print(f"full_core_B{B}: {ms:.2f} ms  ({ms*1e3/B:.2f} us/q)")
 
     # 2. coarse + lut + metadata only
@@ -84,7 +93,8 @@ def main():
         ct, cl, cb = pk.chunk_metadata(probes, qc, centroid_norms,
                                        tile_offsets, list_sizes, mc, nch)
         return luts, ct, cl, cb
-    ms_pre, (luts, ct, cl, cb) = t_ms(pre, q)
+    ms_pre = marginal_ms(pre, q)
+    luts, ct, cl, cb = jax.block_until_ready(pre(q))
     print(f"pre(coarse+lut+meta): {ms_pre:.2f} ms ({ms_pre*1e3/B:.2f} us/q)")
     real_chunks = float(np.asarray((cl > 0).sum(axis=1)).mean())
     print(f"mean real chunks/query: {real_chunks:.1f} of {nch}")
@@ -93,28 +103,72 @@ def main():
     @jax.jit
     def kern(luts, ct, cl, cb):
         return pk.adc_scan_tiles(luts, ct, cl, cb, tiles)
-    ms_k, dists = t_ms(kern, luts, ct, cl, cb)
+    ms_k = marginal_ms(kern, luts, ct, cl, cb)
+    dists = jax.block_until_ready(kern(luts, ct, cl, cb))
     print(f"scan kernel: {ms_k:.2f} ms ({ms_k*1e3/B:.2f} us/q; "
-          f"{ms_k*1e6/B/real_chunks:.0f} ns/chunk)")
+          f"{ms_k*1e6/B/real_chunks:.0f} ns/real-chunk)")
 
-    # 4. topk only
+    # 3b. kernel at half the chunks — fixed-vs-length split
+    ct2, cl2, cb2 = ct[:, ::2], cl[:, ::2], cb[:, ::2]
+    ms_h = marginal_ms(kern, luts, ct2, cl2, cb2)
+    print(f"scan kernel (half chunks): {ms_h:.2f} ms "
+          f"(chunk-linear {2*(ms_k-ms_h)*1e3/B:.2f} us/q of "
+          f"{ms_k*1e3/B:.2f})")
+
+    # 4. top-k variants over the dists array [B, nch*256]
     @jax.jit
-    def tk(dists):
-        return topk_smallest(dists, K)
-    ms_t, _ = t_ms(tk, dists)
-    print(f"topk over [B,{dists.shape[1]}]: {ms_t:.2f} ms "
+    def tk_flat(d):
+        return topk_smallest(d, K)
+    ms_t = marginal_ms(tk_flat, dists)
+    d_ref, i_ref = jax.block_until_ready(tk_flat(dists))
+    print(f"topk flat [B,{dists.shape[1]}]: {ms_t:.2f} ms "
           f"({ms_t*1e3/B:.2f} us/q)")
 
-    # 5. DMA-floor variant: kernel with all lens forced to full chunks but
-    #    computing nothing... approximated by gather-free body is a code
-    #    change; instead time the kernel at half the chunks to estimate the
-    #    fixed-vs-len split.
-    ct2, cl2, cb2 = ct[:, ::2], cl[:, ::2], cb[:, ::2]
     @jax.jit
-    def kern2(luts, ct, cl, cb):
-        return pk.adc_scan_tiles(luts, ct, cl, cb, tiles)
-    ms_h, _ = t_ms(kern2, luts, ct2, cl2, cb2)
-    print(f"scan kernel (half chunks): {ms_h:.2f} ms")
+    def tk_2stage(d):
+        d3 = d.reshape(B, -1, 256)
+        dd, ii = jax.lax.top_k(-d3, K)           # [B, nch, K] per chunk
+        base = (jnp.arange(d3.shape[1], dtype=jnp.int32) * 256)[None, :, None]
+        flat_i = (ii + base).reshape(B, -1)
+        dd2, sel = jax.lax.top_k(dd.reshape(B, -1), K)
+        return -dd2, jnp.take_along_axis(flat_i, sel, axis=1)
+    ms_t2 = marginal_ms(tk_2stage, dists)
+    d2_, i2_ = jax.block_until_ready(tk_2stage(dists))
+    ok2 = bool(jnp.all(d2_ == d_ref))
+    print(f"topk 2-stage(256): {ms_t2:.2f} ms ({ms_t2*1e3/B:.2f} us/q) "
+          f"exact={ok2}")
+
+    @jax.jit
+    def tk_approx(d):
+        return jax.lax.approx_min_k(d, K, recall_target=0.99)
+    ms_ta = marginal_ms(tk_approx, dists)
+    da_, ia_ = jax.block_until_ready(tk_approx(dists))
+    agree = float(jnp.mean((da_ == d_ref).astype(jnp.float32)))
+    print(f"topk approx(0.99): {ms_ta:.2f} ms ({ms_ta*1e3/B:.2f} us/q) "
+          f"value-agreement={agree:.4f}")
+
+    # 5. grouping engine at the bench operating point (if cached)
+    p_gidx = os.path.join(CACHE, "bench_grouping.index")
+    if os.path.exists(p_gidx):
+        from ivfhnsw_tpu import IVFADCGroupingIndex
+        gcfg = IndexConfig(d=D, nc=NC, code_size=16, nsubc=64, do_opq=True)
+        gidx = IVFADCGroupingIndex(gcfg)
+        gidx.set_centroids(np.load(os.path.join(CACHE, "centroids.npy")))
+        gidx.compute_neighbor_centroids()
+        gidx.load_quantizers(os.path.join(CACHE, "bench_grouping.pq"),
+                             os.path.join(CACHE, "bench_grouping.norm_pq"),
+                             os.path.join(CACHE, "bench_grouping.opq"))
+        gidx.alphas = None
+        gidx.read(p_gidx)
+        gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
+                          do_pruning=True)
+        _, kw = gidx._grouping_pallas_setup(gp, NPROBE)
+        print(f"grouping nch={kw['nch']}", file=sys.stderr)
+
+        def gfull(qd):
+            return gidx.search_device(qd, gp)
+        ms_g = marginal_ms(gfull, q)
+        print(f"grouping full B{B}: {ms_g:.2f} ms ({ms_g*1e3/B:.2f} us/q)")
 
 
 if __name__ == "__main__":

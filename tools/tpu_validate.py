@@ -83,11 +83,55 @@ for (NBLK, QB, nch, NT) in [(2, 64, 16, 64), (8, 64, 64, 1000),
 print("batch kernel survived all scales")
 """
 
+CANONICAL = """
+# Canonical reference geometry (examples/run_sift1b_grouping_OPQ.sh:39-48):
+# nc=2^20 centroids, nprobe=210, max_codes=100k, d=128, PQ16. Centroids are
+# random (the search path does not care how they were trained) and the store
+# holds 8M codes over 1M lists (~8/list, billion-scale list-length ratio is
+# irrelevant here — what this validates is the 2^20-row coarse sweep, the
+# [B, nch] SMEM schedule at nch~600, scan-window sizing, and the fused
+# kernel end-to-end at the canonical operating point, vs the XLA oracle).
+import time
+import numpy as np, jax, jax.numpy as jnp
+from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
+rng = np.random.RandomState(11)
+nc, d, n, M = 1 << 20, 128, 8_000_000, 16
+idx = IVFADCIndex(IndexConfig(d=d, nc=nc, code_size=M))
+idx.set_centroids(rng.randn(nc, d).astype(np.float32))
+idx.pq.codebooks = jnp.asarray(rng.randn(M, 256, d // M).astype(np.float32))
+idx.norm_pq.centroids = jnp.asarray(
+    np.sort(rng.rand(256).astype(np.float32)) * 100)
+# Populate every other list: each nonempty list costs one aligned tile
+# (6 KB), so all-2^20 would need 6.3 GB of tiles on a 16 GB chip alongside
+# the XLA oracle's arrays; half keeps HBM comfortable while queries still
+# mix empty and nonempty probes.
+keys = (rng.randint(0, nc // 2, n) * 2).astype(np.int32)
+idx.builder.add(keys, np.arange(n, dtype=np.int32),
+                rng.randint(0, 256, (n, M), dtype=np.uint8),
+                rng.randint(0, 256, n, dtype=np.uint8))
+idx.store = idx.builder.finalize()
+B = 128
+q = rng.randn(B, d).astype(np.float32)
+p = SearchParams(k=10, nprobe=210, max_codes=100_000)
+t0 = time.time()
+idx.engine = "pallas"; d2, l2 = idx.search(q, p)
+t_first = time.time() - t0
+t0 = time.time()
+d2, l2 = idx.search(q, p)
+t_warm = time.time() - t0
+idx.engine = "xla"; d1, l1 = idx.search(q, p)
+assert np.allclose(d1, d2, rtol=1e-4, atol=1e-2), "canonical mismatch"
+print(f"canonical nc=2^20 nprobe=210 mc=100k OK: label agreement "
+      f"{float((l1==l2).mean()):.4f}, warm {t_warm*1e6/B:.0f} us/q "
+      f"(compile+run {t_first:.0f}s)")
+"""
+
 STAGES = {
     "health": (HEALTH, 180),  # device-claim handover alone can take ~60s
     "pallas": (PALLAS_SMALL, 420),
     "grouping": (GROUPING, 420),
     "batch": (BATCH, 420),
+    "canonical": (CANONICAL, 900),
 }
 
 
