@@ -212,6 +212,67 @@ def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100)):
     return {k: float(rec[k]) for k in ks}
 
 
+def exact_adc_ceiling_grouping(gidx, queries, gt, ks=(1, 10)):
+    """Grouping exact-ADC ceiling: brute force over ALL codes with
+    recon = subcentroid(g, s) + decode(code) (unrotated for OPQ) and the
+    quantized reconstruction norm — what the grouping index could achieve
+    with nprobe=nc, max_codes=0, no pruning."""
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu.ops import opq as opq_ops
+    from ivfhnsw_tpu.utils.recall import recall_at_k
+
+    store = gidx._ensure_store()
+    off = np.asarray(store.list_offsets).astype(np.int64)
+    sizes = off[1:] - off[:-1]
+    lists_all = np.repeat(np.arange(store.nc, dtype=np.int64), sizes)
+    g_all = (lists_all // gidx.nsubc).astype(np.int32)
+    s_all = (lists_all % gidx.nsubc).astype(np.int32)
+    kmax = max(ks)
+    q = jnp.asarray(queries)
+    qsq = jnp.sum(q ** 2, axis=1)
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def block_scores(codes_b, g_b, s_b, ncodes_b):
+        dec = gidx.pq.decode(codes_b)
+        if gidx.do_opq:
+            dec = opq_ops.apply_rotation_transpose(dec, gidx.opq_R)
+        c = gidx.centroids[g_b]
+        nn = gidx.centroids[gidx.nn_centroid_idxs[g_b, s_b]]
+        subc = c + gidx.alphas[g_b][:, None] * (nn - c)
+        recon = dec + subc
+        ip = jax.lax.dot_general(q, recon,
+                                 dimension_numbers=(((1,), (1,)), ((), ())),
+                                 precision=hp,
+                                 preferred_element_type=jnp.float32)
+        dist = (qsq[:, None] - 2.0 * ip
+                + gidx.norm_pq.decode(ncodes_b)[None, :])
+        d_, i_ = jax.lax.top_k(-dist, kmax)
+        return -d_, i_
+
+    BLK = 32768
+    ntotal = store.codes.shape[0]
+    best_d = np.full((queries.shape[0], kmax), np.inf, np.float32)
+    best_l = np.full((queries.shape[0], kmax), -1, np.int64)
+    ids_np = np.asarray(store.ids)
+    for lo in range(0, ntotal, BLK):
+        hi = min(lo + BLK, ntotal)
+        d_, i_ = block_scores(store.codes[lo:hi],
+                              jnp.asarray(g_all[lo:hi]),
+                              jnp.asarray(s_all[lo:hi]),
+                              store.norm_codes[lo:hi])
+        d_, i_ = np.asarray(d_), np.asarray(i_)
+        l_ = ids_np[lo + i_]
+        cat_d = np.concatenate([best_d, d_], axis=1)
+        cat_l = np.concatenate([best_l, l_], axis=1)
+        sel = np.argsort(cat_d, axis=1, kind="stable")[:, :kmax]
+        best_d = np.take_along_axis(cat_d, sel, axis=1)
+        best_l = np.take_along_axis(cat_l, sel, axis=1)
+    rec = recall_at_k(best_l, gt[:queries.shape[0]], ks=ks)
+    return {k: float(rec[k]) for k in ks}
+
+
 # ---------------------------------------------------------------------------
 # Index builders (exists()-gated)
 # ---------------------------------------------------------------------------
@@ -548,11 +609,14 @@ def main():
         log("grouping: warmup + timed runs (device-resident) ...")
         g_qps, gl = timed_qps(gidx, queries, gp, reshape=None)
         grec = recall_at_k(gl, gt, ks=(1, 10))
+        gceil = exact_adc_ceiling_grouping(gidx, queries[:CEIL_NQ], gt)
         result.update({
             "grouping_qps": round(g_qps, 1),
             "grouping_us_per_query": round(1e6 / g_qps, 2),
             "grouping_recall_at_1": round(grec[1], 4),
             "grouping_recall_at_10": round(grec[10], 4),
+            "grouping_ceiling_at_1": round(gceil[1], 4),
+            "grouping_ceiling_at_10": round(gceil[10], 4),
         })
     except Exception as e:  # keep the primary result robust
         log(f"grouping bench failed: {type(e).__name__}: {e}")
