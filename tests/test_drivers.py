@@ -149,3 +149,13 @@ def test_example_script_smoke(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Recall@" in r.stdout
+
+
+def test_deep1b_geometry_d96():
+    """DEEP1B canonical geometry (d=96, PQ16 -> dsub=6): the fused kernels
+    and LUT layout must be dimension-agnostic (reference deep1b drivers,
+    test_ivfhnsw_deep1b.cpp). Uses PQ16 on d=96 like run_deep1b.sh."""
+    res = run_driver("ivfadc_eval",
+                     "-synthetic 0 -d 96 -nc 32 -code_size 16 -nb 4000 "
+                     "-nt 3000 -nq 50 -k 10 -nprobe 8 -max_codes 1000")
+    assert res["recalls"][10] > 0.3
