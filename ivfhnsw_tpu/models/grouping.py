@@ -574,14 +574,17 @@ class IVFADCGroupingIndex(IVFADCIndex):
                                   "included": inc, "n_scanned": nsc}
         return out_d, out_l
 
-    def search_device(self, queries_dev, params: SearchParams):
+    def search_device(self, queries_dev, params: SearchParams,
+                      interpret: bool = False):
         """Serving fast path (mirrors IVFADCIndex.search_device): device-
         resident queries [N, d] (split into SMEM-safe sub-batches; N must
         divide) or pre-shaped [G, B, d]; one fused launch, device outputs —
-        no host transfers."""
+        no host transfers. interpret=True runs the kernel in Pallas
+        interpret mode (CPU testing)."""
         from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
         nprobe = min(params.nprobe, self.nc)
         args, kw = self._grouping_pallas_setup(params, nprobe)
+        kw = dict(kw, interpret=interpret)
         if queries_dev.ndim == 2:
             cap = max(8, min(512, (512 << 10) // (8 * max(kw["nch"], 1))
                              // 8 * 8))

@@ -504,12 +504,14 @@ class IVFADCIndex:
         conservatively (observed: B=896 x nch=256 padded to exactly 1MB)."""
         return max(128, min(1024, ((640 << 10) // (4 * nch)) // 128 * 128))
 
-    def search_device(self, queries_dev, params: SearchParams):
+    def search_device(self, queries_dev, params: SearchParams,
+                      interpret: bool = False):
         """Serving fast path: device-resident queries, either [N, d]
         (reshaped internally into SMEM-safe sub-batches; N must divide) or
         pre-shaped [G, B, d]. Returns device arrays (dists, labels) shaped
         like the input batching. No host transfers — the caller owns
-        staging."""
+        staging. interpret=True runs the kernel in Pallas interpret mode
+        (CPU testing)."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         nprobe = min(params.nprobe, self.nc)
         nch = self._pallas_nch(params, nprobe)
@@ -524,7 +526,7 @@ class IVFADCIndex:
             queries_dev, *self._pallas_args(), jnp.int32(params.max_codes),
             nprobe=nprobe, k=params.k, nch=nch,
             coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
-            use_opq=self.do_opq)
+            use_opq=self.do_opq, interpret=interpret)
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):

@@ -108,3 +108,17 @@ def test_grouping_pallas_aggressive_pruning(built):
     assert_same(*both(idx, queries,
                       SearchParams(k=10, nprobe=12, max_codes=100,
                                    do_pruning=True)))
+
+
+def test_grouping_search_device_matches_host(built):
+    """Grouping device-resident serving path vs host search API."""
+    import jax.numpy as jnp
+    idx, queries = built
+    p = SearchParams(k=10, nprobe=8, max_codes=2000, do_pruning=True)
+    idx.engine = "xla"
+    d1, l1 = idx.search(queries, p)
+    idx.engine = "auto"
+    dd, ll = idx.search_device(jnp.asarray(queries[:16]), p, interpret=True)
+    dd = np.asarray(dd).reshape(16, -1)
+    ll = np.asarray(ll).reshape(16, -1)
+    np.testing.assert_allclose(dd, d1[:16], rtol=1e-4, atol=1e-3)

@@ -94,3 +94,18 @@ def test_tiled_store_layout(built):
     np.testing.assert_array_equal(tiles[t0, 16, :n], ncodes[lo:lo + n])
     np.testing.assert_array_equal(ids_al[t0 * 256:t0 * 256 + n],
                                   ids[lo:lo + n])
+
+
+def test_search_device_matches_host(built):
+    """The device-resident serving path (search_device) must agree with the
+    host search API (same fused kernel, different batching/staging)."""
+    import jax.numpy as jnp
+    idx, queries = built
+    p = SearchParams(k=10, nprobe=8, max_codes=1000)
+    idx.engine = "xla"
+    d1, l1 = idx.search(queries, p)
+    idx.engine = "auto"
+    dd, ll = idx.search_device(jnp.asarray(queries[:16]), p, interpret=True)
+    dd = np.asarray(dd).reshape(16, -1)
+    ll = np.asarray(ll).reshape(16, -1)
+    assert_same(d1[:16], l1[:16], dd, ll)
