@@ -178,10 +178,8 @@ def _adc_kernel(tl_smem,   # scalar prefetch: packed tile*TL_PACK + len
             t = jnp.sum(gg, axis=0, keepdims=True)         # [1, 256]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             out_ref[0, i, :] = jnp.where(lane < ln, t, jnp.inf)[0]
-
-        @pl.when(ln == 0)
-        def _():
-            out_ref[0, i, :] = jnp.full((CHUNK,), jnp.inf, jnp.float32)
+        # ln == 0 (padding slot): no store — the caller masks those chunks
+        # to +inf outside the kernel, so the garbage rows are never read.
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -229,7 +227,11 @@ def adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, luts_ext, tiles)
-    out = out + chunk_bias[:, :, None]
+    # Padding slots (len 0) were never written by the kernel; mask them
+    # here (fuses with the bias add — one elementwise pass either way, and
+    # garbage can be NaN, so a plain +inf bias add would not be enough).
+    out = jnp.where((chunk_len > 0)[:, :, None], out + chunk_bias[:, :, None],
+                    jnp.inf)
     return out.reshape(B, nch * CHUNK)
 
 

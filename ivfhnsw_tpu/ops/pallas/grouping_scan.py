@@ -148,10 +148,7 @@ def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
             dist = jnp.sum(gsum, axis=0, keepdims=True)    # [1, 256]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             out_ref[0, i, :] = jnp.where(lane < ln, dist, jnp.inf)[0]
-
-        @pl.when(ln == 0)
-        def _():
-            out_ref[0, i, :] = jnp.full((CHUNK,), jnp.inf, jnp.float32)
+        # ln == 0 (padding slot): no store — masked +inf by the caller.
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -200,6 +197,9 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, seg, luts_ext, term2_tab, tiles)
+    # Padding slots (len 0) were never written by the kernel: mask to +inf
+    # (garbage can be NaN, which would poison the later bias add).
+    out = jnp.where((jax.lax.rem(tl, TL_PACK) > 0)[:, :, None], out, jnp.inf)
     return out.reshape(B, nch * CHUNK)[:, :nch_orig * CHUNK]
 
 
