@@ -630,12 +630,16 @@ def main():
         log("scale: warmup + timed runs ...")
         s_qps, s_labels = timed_qps(sidx, sq, sp, runs=2, reshape=512)
         srec = recall_at_k(s_labels, sgt, ks=(1, 10))
+        log("scale: exact-ADC ceiling (512-query subset) ...")
+        sceil = exact_adc_ceiling(sidx, sq[:512], sgt, ks=(1, 10))
         result.update({
             "scale_nb": S_NB, "scale_nc": S_NC,
             "scale_qps_nprobe128": round(s_qps, 1),
             "scale_us_per_query": round(1e6 / s_qps, 2),
             "scale_recall_at_1": round(srec[1], 4),
             "scale_recall_at_10": round(srec[10], 4),
+            "scale_ceiling_at_1": round(sceil[1], 4),
+            "scale_ceiling_at_10": round(sceil[10], 4),
             "scale_build_seconds": round(build_s, 1),
         })
     except Exception as e:
