@@ -82,8 +82,9 @@ def device_healthy() -> bool:
     """The axon-tunneled TPU can wedge (any device op hangs indefinitely);
     probe it in a subprocess so the bench fails fast instead of hanging.
     Two attempts — device-claim handover right after another process exits
-    can stall the first probe spuriously."""
-    for timeout_s in (90, 240):
+    can stall the first probe spuriously. Windows are generous: a probe
+    killed mid device-claim is itself a wedge cause."""
+    for timeout_s in (300, 480):
         try:
             r = subprocess.run(
                 [sys.executable, "-c",

@@ -57,25 +57,42 @@ class TwoLevelAssigner:
         centroids = np.asarray(centroids, np.float32)
         nc, d = centroids.shape
         self.w = w
-        n_super = n_super or max(16, int(np.sqrt(nc)))
+        # Fine supers (avg ~64 members) keep the per-point candidate set
+        # w*cap small; sqrt(nc) supers made it O(sqrt(nc)) per probe.
+        n_super = n_super or max(16, min(nc // 2, nc // 64 or 16))
         key = key if key is not None else jax.random.PRNGKey(0)
         sup, _ = kmeans(key, centroids, n_super, niter=niter)
         self.supers = sup
         self.super_sqn = jnp.sum(sup ** 2, axis=1)
-        from ivfhnsw_tpu.ops.distances import assign_top1
-        _, sid = assign_top1(jnp.asarray(centroids), sup)
-        sid = np.asarray(sid)
-        counts = np.bincount(sid, minlength=n_super)
-        cap = max(1, int(counts.max()))
+
+        # Capacity-bounded membership. cap = counts.max() is a footgun: one
+        # skewed super (k-means over centroids can collapse) inflates every
+        # point's gather to w*cap — observed cap ~= 21x average at nc=2^17,
+        # a 4 TB intermediate. Instead: hard cap at 4x the average and
+        # greedily spill overflow to the centroid's next-nearest super with
+        # room (processed nearest-first so spills are the far members).
+        n_choice = min(8, n_super)
+        cd, cids = streaming_topk_l2(jnp.asarray(centroids), jnp.asarray(sup),
+                                     n_choice, point_sqnorms=self.super_sqn)
+        cd, cids = np.asarray(cd), np.asarray(cids)
+        cap = max(8, -(-4 * nc // n_super))
         members = np.zeros((n_super, cap), np.int32)
         valid = np.zeros((n_super, cap), bool)
         fill = np.zeros(n_super, np.int64)
-        order = np.argsort(sid, kind="stable")
-        for c in order:
-            s = sid[c]
-            members[s, fill[s]] = c
-            valid[s, fill[s]] = True
-            fill[s] += 1
+        for c in np.argsort(cd[:, 0], kind="stable"):
+            placed = False
+            for s in cids[c]:
+                if fill[s] < cap:
+                    members[s, fill[s]] = c
+                    valid[s, fill[s]] = True
+                    fill[s] += 1
+                    placed = True
+                    break
+            if not placed:  # all n_choice full; total capacity is 4*nc, so
+                s = int(np.argmin(fill))          # a least-full super exists
+                members[s, fill[s]] = c
+                valid[s, fill[s]] = True
+                fill[s] += 1
         self.members = jnp.asarray(members)
         self.member_valid = jnp.asarray(valid)
         self.cap = cap
@@ -84,6 +101,10 @@ class TwoLevelAssigner:
 
     def assign(self, x, batch: int = 65536) -> np.ndarray:
         x = np.asarray(x, np.float32)
+        # The gathered candidate block is [B, w*cap, d] f32 — bound it to
+        # ~2 GB regardless of geometry.
+        d = x.shape[1] if x.ndim == 2 else 1
+        batch = min(batch, max(512, (1 << 29) // max(self.w * self.cap * d, 1)))
         out = np.empty(x.shape[0], np.int32)
         for off in range(0, x.shape[0], batch):
             _, idx = _two_level_assign(

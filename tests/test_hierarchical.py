@@ -42,3 +42,28 @@ def test_index_fast_assign_integration(rng):
     idx.enable_fast_assign(w=8)
     fast = idx.assign(base[:2000])
     assert (exact == fast).mean() > 0.97
+
+
+def test_assigner_capacity_bound_under_skew():
+    """A collapsed/skewed super-clustering must not inflate the candidate
+    gather (cap is hard-bounded at 4x average), and assignment quality must
+    degrade only into near-ties: the assigned centroid's distance stays
+    within ~1% of the exact nearest even when half the centroids sit in a
+    tight blob (the observed nc=2^17 failure was a cap ~21x average -> a
+    4 TB gather at compile time)."""
+    import jax.numpy as jnp
+    from ivfhnsw_tpu.ops.distances import assign_top1
+
+    rng = np.random.RandomState(0)
+    nc, d = 4096, 32
+    blob = rng.randn(nc // 2, d).astype(np.float32) * 0.05
+    rest = rng.randn(nc - nc // 2, d).astype(np.float32) * 3
+    cents = np.concatenate([blob, rest])
+    a = TwoLevelAssigner(cents, w=8, key=jax.random.PRNGKey(7))
+    assert a.cap <= max(8, -(-4 * nc // a.supers.shape[0]))
+    x = rng.randn(4000, d).astype(np.float32) * 2
+    approx = a.assign(x)
+    de, _ = assign_top1(jnp.asarray(x), jnp.asarray(cents))
+    da = np.sum((x - cents[approx]) ** 2, axis=1)
+    ratio = np.mean(np.sqrt(da) / np.maximum(np.sqrt(np.asarray(de)), 1e-9))
+    assert ratio < 1.01, ratio

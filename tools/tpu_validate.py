@@ -159,7 +159,9 @@ def run_stage(name: str) -> bool:
     # inter-stage health gate (device claim handover right after a heavy
     # process exits can take a while — retry once with a longer window).
     if name != "health":
-        for attempt, t in ((0, 90), (1, 240)):
+        # Generous windows: a probe killed mid device-claim is itself a
+        # wedge cause, and claim handover alone can take 60-120s.
+        for attempt, t in ((0, 300), (1, 480)):
             try:
                 h = subprocess.run([sys.executable, "-c", HEALTH],
                                    timeout=t, capture_output=True, text=True)
