@@ -413,8 +413,9 @@ def build_scale(key):
     p_idx = os.path.join(sdir, "scale.index")
     p_gt = os.path.join(sdir, "gt.npy")
     p_q = os.path.join(sdir, "queries.npy")
-    # v2: routed (two-level) assignment during add — invalidates v1 caches
-    p_time = os.path.join(sdir, "build_seconds_v2")
+    # v3: device-resident streaming build (routed assignment + on-device
+    # batch generation) — invalidates earlier caches
+    p_time = os.path.join(sdir, "build_seconds_v3")
 
     cfg = IndexConfig(d=D, nc=S_NC, code_size=CODE_SIZE)
     idx = IVFADCIndex(cfg)
@@ -461,23 +462,40 @@ def build_scale(key):
         log(f"scale: quantizers ready ({time.time()-t_build:.1f}s)")
 
     # Routed two-level assignment: at nc=2^17 the exact MXU sweep dominates
-    # the whole build (~35 TFLOP/1M points); the router is ~25x cheaper at
-    # ~99.9% top-1 agreement (w=16) — this is the "1B assign+encode in
-    # hours" mechanism (ops/hierarchical.py), exercised here at scale.
+    # the whole build (~35 TFLOP/1M points); the bucketed router is far
+    # cheaper at ~99.9% top-1 agreement (w=16) — this is the "1B
+    # assign+encode in hours" mechanism (ops/hierarchical.py) at scale.
     idx.enable_fast_assign(w=16, key=jax.random.PRNGKey(7))
 
-    log(f"scale: streaming {S_NB} vectors (add + gt merge) ...")
+    # The whole stream is DEVICE-RESIDENT (generate + assign + encode + gt
+    # merge on-chip via add_batch_device): the dev tunnel moves ~30 MB/s,
+    # so host-generated batches would spend ~17 s/1M on transfer alone —
+    # and this host's numpy is another ~75 s/1M of generation.
+    log(f"scale: streaming {S_NB} vectors (device-resident add + gt) ...")
     qj = jnp.asarray(queries)
     hp = jax.lax.Precision.HIGHEST
+    centers_dev = jnp.asarray(centers)
+    spectrum_dev = jnp.asarray(spectrum)
+    mix_dev = jnp.asarray(mix)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def gen_dev(key, n):
+        ka, kn = jax.random.split(key)
+        a = jax.random.randint(ka, (n,), 0, n_cl)
+        noise = jax.random.normal(kn, (n, D), jnp.float32) * spectrum_dev
+        return centers_dev[a] + noise @ mix_dev
+
     best_d = np.full((S_NQ, 1), np.inf, np.float32)
     best_l = np.full((S_NQ, 1), -1, np.int64)
     bs = 1_048_576
-    brs = np.random.RandomState(5)
-    for off in range(0, S_NB, bs):
-        blk = gen(min(bs, S_NB - off), brs)
-        idx.add_batch(blk, np.arange(off, off + blk.shape[0],
-                                     dtype=np.int32))
-        d_, i_ = streaming_topk_l2(qj, jnp.asarray(blk), 1, block=131_072,
+    for bi, off in enumerate(range(0, S_NB, bs)):
+        blk = gen_dev(jax.random.PRNGKey(100 + bi),
+                      min(bs, S_NB - off))
+        idx.add_batch_device(blk, np.arange(off, off + blk.shape[0],
+                                            dtype=np.int32))
+        d_, i_ = streaming_topk_l2(qj, blk, 1, block=131_072,
                                    precision=hp)
         d_, i_ = np.asarray(d_), np.asarray(i_) + off
         upd = d_[:, 0] < best_d[:, 0]

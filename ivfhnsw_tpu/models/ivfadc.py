@@ -283,6 +283,37 @@ class IVFADCIndex:
         self.builder.add(keys, xids, np.asarray(codes), np.asarray(norm_codes))
         self.store = None
 
+    def _assign_device_exact(self, x_dev) -> np.ndarray:
+        """Exact nearest-centroid assignment for device-resident x (no host
+        round-trip of the vectors)."""
+        rows = max(1024, min(131072, (1 << 26) // max(self.coarse_block, 1)))
+        n = int(x_dev.shape[0])
+        out = np.empty(n, np.int32)
+        for off in range(0, n, rows):
+            _, idx = streaming_topk_l2(x_dev[off:off + rows], self.centroids,
+                                       1, block=self.coarse_block,
+                                       point_sqnorms=self.centroid_norms)
+            out[off:off + rows] = np.asarray(idx[:, 0])
+        return out
+
+    def add_batch_device(self, x_dev, xids=None) -> None:
+        """Device-resident add_batch: x stays on device end-to-end (assign +
+        encode in-place); only keys/codes/norm codes (~21 B/vector) cross to
+        the host builder. The build fast path for device-generated or
+        pre-staged batches — host->device transfer is the bottleneck on
+        tunneled devices (measured ~30 MB/s vs ~21 B/vector here)."""
+        n = int(x_dev.shape[0])
+        if getattr(self, "_fast_assigner", None) is not None:
+            keys = self._fast_assigner.assign_device(x_dev)
+        else:
+            keys = self._assign_device_exact(x_dev)
+        if xids is None:
+            xids = np.arange(self.builder.ntotal,
+                             self.builder.ntotal + n, dtype=np.int32)
+        codes, norm_codes = self._encode_batch(x_dev, jnp.asarray(keys))
+        self.builder.add(keys, xids, np.asarray(codes), np.asarray(norm_codes))
+        self.store = None
+
     def add_batch2(self, x, xids, precomputed_idx, eids) -> bytes:
         """add_batch2 equivalent (IndexIVF_HNSW.cpp:140-204): also add to the
         index, and return the ORCV output buffer of per-vector records

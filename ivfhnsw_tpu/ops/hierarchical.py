@@ -77,6 +77,70 @@ def _bucket_assign(x_pad, idx_mat, members, member_valid, centroids,
     return out
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("ns", "Bp", "w", "rows", "precision"))
+def _assign_device_core(x, supers, super_sqn, members, member_valid,
+                        centroids, centroid_norms, *, ns: int, Bp: int,
+                        w: int, rows: int, precision=None):
+    """Whole assignment in ONE launch for device-resident points: route
+    top-w supers (row-chunked), then lax.scan over the w probe ranks, each
+    rank bucketizing on device (argsort + scatter) and scanning supers with
+    dense member matmuls. Returns (ids [n] i32, dists [n] f32; +inf where
+    no pass resolved the point — caller falls back to exact)."""
+    n, d = x.shape
+    xr = x.reshape(n // rows, rows, d)
+
+    def route_chunk(xc):
+        _, sid = streaming_topk_l2(xc, supers, w, block=ns,
+                                   point_sqnorms=super_sqn)
+        return sid.astype(jnp.int32)
+
+    sids = jax.lax.map(route_chunk, xr).reshape(n, w)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    def super_scan(idx_mat):
+        def step(carry, row):
+            idx_row, mem_row, mvalid_row = row
+            xb = x[jnp.minimum(idx_row, n - 1)]            # [Bp, d]
+            cc = centroids[mem_row]                        # [cap, d]
+            ip = jax.lax.dot_general(
+                xb, cc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            d2 = centroid_norms[mem_row][None, :] - 2.0 * ip
+            d2 = jnp.where(mvalid_row[None, :], d2, jnp.inf)
+            j = jnp.argmin(d2, axis=1)
+            return carry, (mem_row[j].astype(jnp.int32),
+                           jnp.take_along_axis(d2, j[:, None], 1)[:, 0])
+
+        _, out = jax.lax.scan(step, 0, (idx_mat, members, member_valid))
+        return out
+
+    def one_pass(best, sid_col):
+        best_d, best_i = best
+        order = jnp.argsort(sid_col).astype(jnp.int32)
+        ssid = sid_col[order]
+        seg_start = jnp.searchsorted(ssid, jnp.arange(ns, dtype=jnp.int32))
+        within = iota_n - seg_start[ssid].astype(jnp.int32)
+        # Sentinel n marks empty slots; overflow (within >= Bp) is dropped
+        # here and rescued by the point's other probe ranks (or the exact
+        # fallback if every rank overflows).
+        idx_mat = jnp.full((ns, Bp), n, jnp.int32)
+        idx_mat = idx_mat.at[ssid, within].set(order, mode="drop")
+        ids2d, d2d = super_scan(idx_mat)
+        flat = idx_mat.reshape(-1)
+        ids_n = jnp.zeros(n, jnp.int32).at[flat].set(
+            ids2d.reshape(-1), mode="drop")
+        d_n = jnp.full(n, jnp.inf).at[flat].set(
+            d2d.reshape(-1), mode="drop")
+        upd = d_n < best_d
+        return (jnp.where(upd, d_n, best_d),
+                jnp.where(upd, ids_n, best_i)), 0
+
+    init = (jnp.full(n, jnp.inf), jnp.zeros(n, jnp.int32))
+    (bd, bi), _ = jax.lax.scan(one_pass, init, jnp.moveaxis(sids, 1, 0))
+    return bi, bd
+
+
 class TwoLevelAssigner:
     """Approximate nearest-centroid assigner: k-means over the centroid set
     + per-point top-w super probes as bucketed per-super matmul passes."""
@@ -203,6 +267,30 @@ class TwoLevelAssigner:
             # Unresolved by every pass (pathological skew): exact fallback.
             best_i[rem] = self._exact(x[rem])
         return best_i
+
+    def assign_device(self, x_dev, rows: int = 131072) -> np.ndarray:
+        """Device-resident assignment: x never crosses the host boundary;
+        one launch for the whole batch (route + all probe passes), ~4 MB of
+        keys coming back. The build fast path — host<->device transfer is
+        the bottleneck on tunneled devices."""
+        n = int(x_dev.shape[0])
+        ns = self.n_super
+        rows = max(1024, min(rows, (1 << 28) // max(ns, 1), n))
+        n_pad = -(-n // rows) * rows
+        if n_pad != n:
+            x_dev = jnp.pad(x_dev, ((0, n_pad - n), (0, 0)))
+        Bp = max(8, -(-2 * n_pad // ns) // 8 * 8)
+        bi, bd = _assign_device_core(
+            x_dev, self.supers, self.super_sqn, self.members,
+            self.member_valid, self.centroids, self.centroid_norms,
+            ns=ns, Bp=Bp, w=min(self.w, ns), rows=rows)
+        bi, bd = bi[:n], bd[:n]
+        keys = np.asarray(bi)
+        bad = np.asarray(jnp.isinf(bd))
+        if bad.any():  # every probe rank overflowed (pathological skew)
+            idxs = np.nonzero(bad)[0]
+            keys[idxs] = self._exact(np.asarray(x_dev[idxs]))
+        return keys
 
     def exact_match_rate(self, x_sample, exact_assign_fn) -> float:
         """Fraction of sample points routed to the true nearest centroid."""

@@ -67,3 +67,37 @@ def test_assigner_capacity_bound_under_skew():
     da = np.sum((x - cents[approx]) ** 2, axis=1)
     ratio = np.mean(np.sqrt(da) / np.maximum(np.sqrt(np.asarray(de)), 1e-9))
     assert ratio < 1.01, ratio
+
+
+def test_add_batch_device_matches_host(rng):
+    """Device-resident add path must build a bit-identical index to the
+    host add path (exact assigner), and assign_device must agree with
+    assign for the routed assigner."""
+    import jax as _jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+
+    base = rng.randn(5000, 16).astype(np.float32)
+    idx1 = IVFADCIndex(IndexConfig(d=16, nc=64, code_size=4))
+    idx1.train_centroids(_jax.random.PRNGKey(0), base[:3000], niter=8)
+    idx1.train_pq(_jax.random.PRNGKey(1), base[:3000], pq_niter=6)
+    idx2 = IVFADCIndex(IndexConfig(d=16, nc=64, code_size=4))
+    idx2.set_centroids(np.asarray(idx1.centroids))
+    idx2.pq = idx1.pq
+    idx2.norm_pq = idx1.norm_pq
+
+    idx1.add_batch(base, np.arange(5000, dtype=np.int32))
+    idx1.finalize()
+    idx2.add_batch_device(jnp.asarray(base), np.arange(5000, dtype=np.int32))
+    idx2.finalize()
+    np.testing.assert_array_equal(np.asarray(idx1.store.codes),
+                                  np.asarray(idx2.store.codes))
+    np.testing.assert_array_equal(np.asarray(idx1.store.ids),
+                                  np.asarray(idx2.store.ids))
+
+    # routed assigner: device vs host entry points agree
+    tla = TwoLevelAssigner(np.asarray(idx1.centroids), w=8,
+                           key=_jax.random.PRNGKey(2))
+    a_host = tla.assign(base)
+    a_dev = tla.assign_device(jnp.asarray(base))
+    assert (a_host == a_dev).mean() > 0.999
