@@ -288,6 +288,7 @@ class TwoLevelAssigner:
         keys = np.asarray(bi)
         bad = np.asarray(jnp.isinf(bd))
         if bad.any():  # every probe rank overflowed (pathological skew)
+            keys = keys.copy()  # np.asarray of a jax array is read-only
             idxs = np.nonzero(bad)[0]
             keys[idxs] = self._exact(np.asarray(x_dev[idxs]))
         return keys
