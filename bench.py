@@ -413,9 +413,11 @@ def build_scale(key):
     p_idx = os.path.join(sdir, "scale.index")
     p_gt = os.path.join(sdir, "gt.npy")
     p_q = os.path.join(sdir, "queries.npy")
-    # v3: device-resident streaming build (routed assignment + on-device
-    # batch generation) — invalidates earlier caches
-    p_time = os.path.join(sdir, "build_seconds_v3")
+    # v4: device-resident streaming build (routed assignment + on-device
+    # batch generation), f32-precision assignment distances (bf16 quantized
+    # near-ties and index-tie-broken argmin concentrated 60x-oversized
+    # lists) — invalidates earlier caches
+    p_time = os.path.join(sdir, "build_seconds_v4")
 
     cfg = IndexConfig(d=D, nc=S_NC, code_size=CODE_SIZE)
     idx = IVFADCIndex(cfg)

@@ -51,7 +51,7 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _bucket_assign(x_pad, idx_mat, members, member_valid, centroids,
-                   centroid_norms, precision=None):
+                   centroid_norms, precision=HIGHEST):
     """One launch: scan over supers; per super a dense [Bp, cap] score
     matmul against its member centroids.
 
@@ -81,7 +81,7 @@ def _bucket_assign(x_pad, idx_mat, members, member_valid, centroids,
                    static_argnames=("ns", "Bp", "w", "rows", "precision"))
 def _assign_device_core(x, supers, super_sqn, members, member_valid,
                         centroids, centroid_norms, *, ns: int, Bp: int,
-                        w: int, rows: int, precision=None):
+                        w: int, rows: int, precision=HIGHEST):
     """Whole assignment in ONE launch for device-resident points: route
     top-w supers (row-chunked), then lax.scan over the w probe ranks, each
     rank bucketizing on device (argsort + scatter) and scanning supers with
