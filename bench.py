@@ -48,7 +48,7 @@ NSUBC = 64
 CEIL_NQ = 2048          # query subset for the exact-ADC ceiling
 S_NB, S_NC, S_NQ = 20_000_000, 131_072, 2048
 S_NPROBE, S_MC = 128, 30_000
-CORPUS_VERSION = 2  # bump to invalidate cached artifacts
+CORPUS_VERSION = 3  # v3: assignment at f32-fidelity precision
 
 
 def log(msg):
@@ -413,11 +413,10 @@ def build_scale(key):
     p_idx = os.path.join(sdir, "scale.index")
     p_gt = os.path.join(sdir, "gt.npy")
     p_q = os.path.join(sdir, "queries.npy")
-    # v4: device-resident streaming build (routed assignment + on-device
-    # batch generation), f32-precision assignment distances (bf16 quantized
-    # near-ties and index-tie-broken argmin concentrated 60x-oversized
-    # lists) — invalidates earlier caches
-    p_time = os.path.join(sdir, "build_seconds_v4")
+    # v5: device-resident streaming build, exact on-device assignment at
+    # f32-fidelity (HIGH) precision — bf16 argmin quantized near-ties and
+    # concentrated 60x-oversized lists — invalidates earlier caches
+    p_time = os.path.join(sdir, "build_seconds_v5")
 
     cfg = IndexConfig(d=D, nc=S_NC, code_size=CODE_SIZE)
     idx = IVFADCIndex(cfg)
@@ -463,11 +462,11 @@ def build_scale(key):
         del learn
         log(f"scale: quantizers ready ({time.time()-t_build:.1f}s)")
 
-    # Routed two-level assignment: at nc=2^17 the exact MXU sweep dominates
-    # the whole build (~35 TFLOP/1M points); the bucketed router is far
-    # cheaper at ~99.9% top-1 agreement (w=16) — this is the "1B
-    # assign+encode in hours" mechanism (ops/hierarchical.py) at scale.
-    idx.enable_fast_assign(w=16, key=jax.random.PRNGKey(7))
+    # Assignment is the exact device-resident sweep at ARGMIN (f32-fidelity)
+    # precision: at nc=2^17 it runs ~16 us/point on-chip, and this corpus
+    # (uniform random cluster centers, no mesoscale structure) is the
+    # adversarial case for the routed two-level assigner — see
+    # ops/hierarchical.py for where that path wins instead.
 
     # The whole stream is DEVICE-RESIDENT (generate + assign + encode + gt
     # merge on-chip via add_batch_device): the dev tunnel moves ~30 MB/s,

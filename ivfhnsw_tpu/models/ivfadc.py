@@ -43,7 +43,7 @@ import numpy as np
 
 from ivfhnsw_tpu.ops import adc as adc_ops
 from ivfhnsw_tpu.ops import opq as opq_ops
-from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+from ivfhnsw_tpu.ops.distances import ARGMIN_PRECISION, streaming_topk_l2
 from ivfhnsw_tpu.ops.pq import NormQuantizer, ProductQuantizer
 from ivfhnsw_tpu.ops.topk import topk_smallest
 from ivfhnsw_tpu.models.storage import (PostingListBuilder, PostingListStore,
@@ -210,7 +210,8 @@ class IVFADCIndex:
             blk = jnp.asarray(x[off:off + batch])
             _, idx = streaming_topk_l2(blk, self.centroids, 1,
                                        block=self.coarse_block,
-                                       point_sqnorms=self.centroid_norms)
+                                       point_sqnorms=self.centroid_norms,
+                                       precision=ARGMIN_PRECISION)
             out[off:off + batch] = np.asarray(idx[:, 0])
         return out
 
@@ -292,7 +293,8 @@ class IVFADCIndex:
         for off in range(0, n, rows):
             _, idx = streaming_topk_l2(x_dev[off:off + rows], self.centroids,
                                        1, block=self.coarse_block,
-                                       point_sqnorms=self.centroid_norms)
+                                       point_sqnorms=self.centroid_norms,
+                                       precision=ARGMIN_PRECISION)
             out[off:off + rows] = np.asarray(idx[:, 0])
         return out
 

@@ -16,6 +16,16 @@ import jax.numpy as jnp
 
 from ivfhnsw_tpu.ops.topk import topk_smallest
 
+# Precision for argmin/assignment sweeps. On TPU the DEFAULT (bf16-input)
+# matmul quantizes near-tie distances, so argmin tie-breaks by index —
+# measured on a clustered corpus at nc=2^17: only 69% agreement with f32
+# assignment and 60x-oversized hot lists. HIGH (3-pass bf16) restores
+# f32-level fidelity (99.8% agreement, identical list balance) at ~3x the
+# default cost; HIGHEST was measured ~360x slower than HIGH on v5e for
+# large sweeps (falls off the fast MXU path) — do not use it for bulk
+# assignment.
+ARGMIN_PRECISION = jax.lax.Precision.HIGH
+
 
 def l2sqr_pairwise(x: jax.Array, y: jax.Array, y_sqnorm: jax.Array | None = None,
                    precision=None) -> jax.Array:

@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+from ivfhnsw_tpu.ops.distances import (ARGMIN_PRECISION,
+                                        streaming_topk_l2)
 from ivfhnsw_tpu.ops.kmeans import kmeans
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -51,7 +52,7 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _bucket_assign(x_pad, idx_mat, members, member_valid, centroids,
-                   centroid_norms, precision=HIGHEST):
+                   centroid_norms, precision=ARGMIN_PRECISION):
     """One launch: scan over supers; per super a dense [Bp, cap] score
     matmul against its member centroids.
 
@@ -81,7 +82,7 @@ def _bucket_assign(x_pad, idx_mat, members, member_valid, centroids,
                    static_argnames=("ns", "Bp", "w", "rows", "precision"))
 def _assign_device_core(x, supers, super_sqn, members, member_valid,
                         centroids, centroid_norms, *, ns: int, Bp: int,
-                        w: int, rows: int, precision=HIGHEST):
+                        w: int, rows: int, precision=ARGMIN_PRECISION):
     """Whole assignment in ONE launch for device-resident points: route
     top-w supers (row-chunked), then lax.scan over the w probe ranks, each
     rank bucketizing on device (argsort + scatter) and scanning supers with
@@ -92,7 +93,8 @@ def _assign_device_core(x, supers, super_sqn, members, member_valid,
 
     def route_chunk(xc):
         _, sid = streaming_topk_l2(xc, supers, w, block=ns,
-                                   point_sqnorms=super_sqn)
+                                   point_sqnorms=super_sqn,
+                                   precision=precision)
         return sid.astype(jnp.int32)
 
     sids = jax.lax.map(route_chunk, xr).reshape(n, w)
@@ -158,12 +160,17 @@ class TwoLevelAssigner:
         self.super_sqn = jnp.sum(sup ** 2, axis=1)
         self.n_super = n_super
 
-        # Capacity-bounded membership (cap = 2x average, greedy spill).
+        # Capacity-bounded membership (cap = 4x average, greedy spill).
+        # 2x was too tight: super k-means over clustered centroid sets is
+        # imbalanced enough that ~25% of supers fill and ~40% of centroids
+        # spill OUT of their nearest super, capping routed-assign match at
+        # ~67%. 4x leaves spill <2% at the cost of a 2x-wider (still tiny)
+        # member matmul.
         n_choice = min(8, n_super)
         cd, cids = streaming_topk_l2(jnp.asarray(centroids), sup,
                                      n_choice, point_sqnorms=self.super_sqn)
         cd, cids = np.asarray(cd), np.asarray(cids)
-        cap = max(8, -(-2 * nc // n_super))
+        cap = max(8, -(-4 * nc // n_super))
         members = np.zeros((n_super, cap), np.int32)
         valid = np.zeros((n_super, cap), bool)
         fill = np.zeros(n_super, np.int64)
@@ -174,7 +181,7 @@ class TwoLevelAssigner:
                     valid[s, fill[s]] = True
                     fill[s] += 1
                     break
-            else:  # all n_choice full; total capacity is 2*nc, so room exists
+            else:  # all n_choice full; total capacity is 4*nc, so room exists
                 s = int(np.argmin(fill))
                 members[s, fill[s]] = c
                 valid[s, fill[s]] = True

@@ -26,11 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivfhnsw_tpu.ops.distances import assign_top1, l2sqr_pairwise
+from ivfhnsw_tpu.ops.distances import (ARGMIN_PRECISION, assign_top1,
+                                        l2sqr_pairwise)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "precision"))
-def kmeanspp_init(key, data, k: int, precision=None):
+def kmeanspp_init(key, data, k: int, precision=ARGMIN_PRECISION):
     """k-means++ seeding on data [n, d] (D^2-weighted sampling). O(n*k) —
     callers subsample for very large n."""
     n, d = data.shape
@@ -54,7 +55,7 @@ def kmeanspp_init(key, data, k: int, precision=None):
 
 
 def hierarchical_seed(key, data, k: int, block_c: int = 16384,
-                      precision=None) -> np.ndarray:
+                      precision=ARGMIN_PRECISION) -> np.ndarray:
     """Two-level ++-style seeding for very large k (coarse centroids at
     2^17-2^20, where the sequential k-step ++ loop is impractical).
 
@@ -144,7 +145,7 @@ def hierarchical_seed(key, data, k: int, block_c: int = 16384,
 
 @functools.partial(jax.jit, static_argnames=("k", "block_c", "precision"))
 def _stream_iter(data_blocks, valid, centroids, k: int, block_c: int,
-                 precision=None):
+                 precision=ARGMIN_PRECISION):
     """One Lloyd iteration over pre-blocked data [nb, bs, d] with a validity
     mask [nb, bs]. Returns (sums [k, d], counts [k], sse)."""
 
@@ -167,7 +168,7 @@ def _stream_iter(data_blocks, valid, centroids, k: int, block_c: int,
 
 
 def kmeans(key, data, k: int, niter: int = 25, block_c: int = 16384,
-           block_n: int = 131072, precision=None, verbose: bool = False):
+           block_n: int = 131072, precision=ARGMIN_PRECISION, verbose: bool = False):
     """Streaming Lloyd's k-means. data: [n, d] (numpy or jax). Returns
     (centroids [k, d] f32, final mean squared error)."""
     data = np.asarray(data, dtype=np.float32)
