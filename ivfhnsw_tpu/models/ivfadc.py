@@ -189,7 +189,11 @@ class IVFADCIndex:
                            key=None) -> None:
         """Switch `assign` to the two-level routed assigner
         (ops.hierarchical) — the 'assign 1B points in hours' path for large
-        nc; ~99% exact-match at w=8 and ~1/30 the FLOPs."""
+        nc (~1/30 the exact FLOPs). Accuracy depends on the centroid set
+        having mesoscale structure (real descriptor data does; ~99.9%
+        exact-match at w=16 on clustered corpora, but uniform-random
+        centroid sets defeat super-level routing — validate with
+        TwoLevelAssigner.exact_match_rate before committing a build)."""
         from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
         self._fast_assigner = TwoLevelAssigner(
             np.asarray(self.centroids), n_super=n_super, w=w,

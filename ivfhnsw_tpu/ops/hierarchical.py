@@ -33,6 +33,14 @@ identically-shaped overflow retry per pass; points unresolved by every
 pass (pathological skew) fall back to the exact assigner — approximation
 never loses points. :func:`TwoLevelAssigner.exact_match_rate` measures the
 routing accuracy so the accuracy/TCO trade-off is known, not assumed.
+
+KNOWN LIMIT: two-level routing presumes the centroid set has mesoscale
+structure (clusters of centroids). On corpora whose cluster centers are
+uniform random (no structure above the cluster scale — e.g. the bench's
+synthetic 2^17 corpus), super k-means cannot localize and the match rate
+caps out near ~75% regardless of caps; measure exact_match_rate on a
+sample and fall back to the exact device sweep (ARGMIN precision,
+~16 us/point at nc=2^17) when it is low.
 """
 
 from __future__ import annotations
