@@ -517,24 +517,51 @@ def build_scale(key):
 # ---------------------------------------------------------------------------
 
 
-def timed_qps(idx, queries, params, runs=3, reshape=1024):
-    """reshape=None passes 2-D device queries and lets the index pick its
+def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
+    """Sustained throughput: submit `depth` launches back-to-back (async)
+    and block once — queries/s under continuous load, which is the
+    apples-to-apples number against the CPU baseline's pure compute loop.
+    (A single submit-and-block through the remote dev tunnel pays ~60 ms of
+    dispatch latency that neither real serving nor the baseline pays; it is
+    still reported separately as single_launch runs in the log.)
+
+    reshape=None passes 2-D device queries and lets the index pick its
     own SMEM-safe sub-batching (grouping nch can exceed what B=1024 fits)."""
     import jax
     import jax.numpy as jnp
-    qdev = jnp.asarray(queries if reshape is None
-                       else queries.reshape(-1, reshape, D))
-    d_, l_ = idx.search_device(qdev, params)
+
+    def shape(q):
+        return jnp.asarray(q if reshape is None
+                           else q.reshape(-1, reshape, D))
+
+    # Distinct buffers per pipelined launch: repeated launches with
+    # byte-identical inputs have been observed to come back suspiciously
+    # fast through the dev tunnel (result reuse), which would fake the
+    # sustained number.
+    qdevs = [shape(np.ascontiguousarray(np.roll(queries, r, axis=0)))
+             for r in range(depth)]
+    qdev = qdevs[0]
+    d_, l_ = idx.search_device(qdev, params)   # labels: unrolled queries
     jax.block_until_ready(d_)
     best = float("inf")
     for r in range(runs):
         t0 = time.perf_counter()
-        d_, l_ = idx.search_device(qdev, params)
-        jax.block_until_ready(d_)
+        d2_, _ = idx.search_device(qdevs[r % depth], params)
+        jax.block_until_ready(d2_)
         dt = time.perf_counter() - t0
         best = min(best, dt)
-        log(f"  run {r}: {dt*1e6/queries.shape[0]:.1f} us/query")
-    return queries.shape[0] / best, np.asarray(l_).reshape(
+        log(f"  single-launch run {r}: {dt*1e6/queries.shape[0]:.1f} us/q")
+    best_sus = float("inf")
+    for r in range(2):
+        t0 = time.perf_counter()
+        outs = [idx.search_device(qdevs[i % depth], params)
+                for i in range(depth)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / depth
+        best_sus = min(best_sus, dt)
+        log(f"  sustained x{depth} run {r}: "
+            f"{dt*1e6/queries.shape[0]:.1f} us/q")
+    return queries.shape[0] / best_sus, np.asarray(l_).reshape(
         queries.shape[0], -1)
 
 
@@ -586,6 +613,7 @@ def main():
     params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES)
     log("primary: warmup + timed runs ...")
     qps, labels = timed_qps(idx, queries, params)
+    _, _ = idx.search(queries, params)        # warm the host-path jit
     t0 = time.perf_counter()
     _, _ = idx.search(queries, params)
     e2e = time.perf_counter() - t0

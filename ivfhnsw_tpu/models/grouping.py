@@ -482,7 +482,9 @@ class IVFADCGroupingIndex(IVFADCIndex):
                   nsubc=self.nsubc,
                   coarse_block=min(self.coarse_block,
                                    _round_up(self.nc, 128)),
-                  use_opq=self.do_opq, do_pruning=params.do_pruning)
+                  use_opq=self.do_opq, do_pruning=params.do_pruning,
+                  coarse_approx=self._coarse_approx(params),
+                  coarse_recall=params.coarse_recall)
         return args, kw
 
     def _search_pallas_grouping(self, blk, params: SearchParams, nprobe: int,

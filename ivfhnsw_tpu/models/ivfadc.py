@@ -423,6 +423,22 @@ class IVFADCIndex:
             nch = nprobe * max(1, (mx + pk.CHUNK - 1) // pk.CHUNK)
         return max(nch, 1)
 
+    def _coarse_approx(self, params: SearchParams) -> bool:
+        """Resolve the coarse probe-selection mode (SearchParams.coarse_mode):
+        exact lax.top_k for small centroid sets, approx_min_k above 16384
+        centroids under "auto" (measured crossover — see
+        ops.distances.streaming_topk_l2)."""
+        mode = getattr(params, "coarse_mode", "auto")
+        return mode == "approx" or (mode == "auto" and self.nc > 16384)
+
+    def _coarse_block_for(self, B: int) -> int:
+        """Coarse sweep block size: as large as a ~256 MB [B, block] f32
+        score block allows — fewer streamed top-k merges dominate the coarse
+        cost at large nc (8 merge rounds at nc=2^17 measured 2x the cost of
+        a single full-width pass)."""
+        cap = max(4096, ((64 << 20) // max(B, 1)) // 128 * 128)
+        return min(_round_up(self.nc, 128), max(self.coarse_block, cap))
+
     def _pallas_args(self):
         tiled = self._ensure_store().tiled()
         return (self.centroids, self.centroid_norms, self.pq.codebooks,
@@ -440,8 +456,10 @@ class IVFADCIndex:
             jnp.int32(params.max_codes),
             nprobe=nprobe, k=params.k,
             nch=self._pallas_nch(params, nprobe),
-            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
-            use_opq=self.do_opq, interpret=interpret)
+            coarse_block=self._coarse_block_for(len(blk)),
+            use_opq=self.do_opq, interpret=interpret,
+            coarse_approx=self._coarse_approx(params),
+            coarse_recall=params.coarse_recall)
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
@@ -482,8 +500,10 @@ class IVFADCIndex:
                 jnp.int32(params.max_codes),
                 nprobe=nprobe, k=params.k,
                 nch=self._pallas_nch(params, nprobe),
-                coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
-                use_opq=self.do_opq)
+                coarse_block=self._coarse_block_for(batch),
+                use_opq=self.do_opq,
+                coarse_approx=self._coarse_approx(params),
+                coarse_recall=params.coarse_recall)
             self.stats["queries"] += nq
             return (np.asarray(d).reshape(-1, params.k)[:nq],
                     np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))
@@ -562,8 +582,10 @@ class IVFADCIndex:
         return pk.pallas_search_many(
             queries_dev, *self._pallas_args(), jnp.int32(params.max_codes),
             nprobe=nprobe, k=params.k, nch=nch,
-            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
-            use_opq=self.do_opq, interpret=interpret)
+            coarse_block=self._coarse_block_for(queries_dev.shape[1]),
+            use_opq=self.do_opq, interpret=interpret,
+            coarse_approx=self._coarse_approx(params),
+            coarse_recall=params.coarse_recall)
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):

@@ -80,8 +80,22 @@ def chunk_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
              chunk_bias [B, nch] f32).
     """
     B, P = probes.shape
+    nc = list_sizes.shape[0]
 
-    sizes = list_sizes[probes].astype(jnp.int32)               # [B, P]
+    # Packed per-centroid row gather: XLA lowers 1-lane gathers from [nc]
+    # tables into ~0.7 ms/batch element loops, while one 8-lane row gather
+    # of the same indices is ~5x faster — so pack (size, tile_offset,
+    # centroid_norm) as rows of a [nc, 8] table and gather once. f32 holds
+    # both ints exactly (tile indices are bounded by TL_PACK to 4.2M < 2^24).
+    pack = jnp.stack([list_sizes.astype(jnp.float32),
+                      tile_offsets[:nc].astype(jnp.float32),
+                      centroid_norms], axis=1)                  # [nc, 3]
+    pack = jnp.pad(pack, ((0, 0), (0, 5)))
+    g = jnp.take(pack, probes, axis=0)                          # [B, P, 8]
+    sizes = g[..., 0].astype(jnp.int32)
+    tile_off = g[..., 1]
+    term1 = qc_dists - g[..., 2]                                # [B, P]
+
     cum_before = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(sizes, axis=1)[:, :-1]],
         axis=1)
@@ -90,23 +104,27 @@ def chunk_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
     bounds = jnp.cumsum(tcnt, axis=1)                           # [B, P]
     starts = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), bounds[:, :-1]], axis=1)
-    term1 = qc_dists - centroid_norms[probes]                   # [B, P]
     j = jnp.arange(nch, dtype=jnp.int32)
 
-    # seg[b, j] = #{i : bounds[b, i] <= j} — P is small, so a comparison-sum
-    # beats vmapped searchsorted by a wide margin on TPU.
-    seg = jnp.sum((bounds[:, None, :] <= j[None, :, None]).astype(jnp.int32),
-                  axis=2)                                       # [B, nch]
-    seg_c = jnp.minimum(seg, P - 1)
-    within = j[None, :] - jnp.take_along_axis(starts, seg_c, axis=1)
-    probe_sel = jnp.take_along_axis(probes, seg_c, axis=1)
-    tile = tile_offsets[probe_sel].astype(jnp.int32) + within
-    ln = jnp.clip(jnp.take_along_axis(sizes, seg_c, axis=1) - within * CHUNK,
-                  0, CHUNK)
+    # One-hot probe->chunk expansion: oh[b, j, p] = (chunk j belongs to
+    # probe p), then ONE einsum selects all per-chunk fields at once.
+    # (take_along_axis on [B, P] rows costs ~0.8 ms per field on TPU; the
+    # einsum does all four in ~0.2 ms.) HIGHEST precision keeps the f32
+    # products exact; values are integers < 2^24, so round() is exact too.
+    oh = jnp.logical_and(starts[:, None, :] <= j[None, :, None],
+                         bounds[:, None, :] > j[None, :, None])  # [B,nch,P]
+    vals = jnp.stack([starts.astype(jnp.float32), sizes.astype(jnp.float32),
+                      term1, tile_off], axis=-1)                # [B, P, 4]
+    sel = jnp.einsum("bjp,bpv->bjv", oh.astype(jnp.float32), vals,
+                     precision=jax.lax.Precision.HIGHEST)       # [B, nch, 4]
     valid = j[None, :] < bounds[:, -1:]
+    within = j[None, :] - jnp.round(sel[..., 0]).astype(jnp.int32)
+    tile = jnp.round(sel[..., 3]).astype(jnp.int32) + within
+    ln = jnp.clip(jnp.round(sel[..., 1]).astype(jnp.int32) - within * CHUNK,
+                  0, CHUNK)
     return (jnp.where(valid, tile, 0),
             jnp.where(valid, ln, 0),
-            jnp.where(valid, jnp.take_along_axis(term1, seg_c, axis=1), 0.0))
+            jnp.where(valid, sel[..., 2], 0.0))
 
 
 def _adc_kernel(tl_smem,   # scalar prefetch: packed tile*TL_PACK + len
@@ -175,9 +193,9 @@ def _adc_kernel(tl_smem,   # scalar prefetch: packed tile*TL_PACK + len
             idx = scratch[jax.lax.rem(g, DEPTH)].astype(jnp.int32)
             gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
                                  axis=1)
-            t = jnp.sum(gg, axis=0, keepdims=True)         # [1, 256]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            out_ref[0, i, :] = jnp.where(lane < ln, t, jnp.inf)[0]
+            # Raw sums stored; the caller masks tail lanes (>= ln) outside
+            # the kernel, where the mask fuses into the bias-add pass.
+            out_ref[0, i, :] = jnp.sum(gg, axis=0)         # [256]
         # ln == 0 (padding slot): no store — the caller masks those chunks
         # to +inf outside the kernel, so the garbage rows are never read.
 
@@ -227,11 +245,13 @@ def adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, luts_ext, tiles)
-    # Padding slots (len 0) were never written by the kernel; mask them
-    # here (fuses with the bias add — one elementwise pass either way, and
-    # garbage can be NaN, so a plain +inf bias add would not be enough).
-    out = jnp.where((chunk_len > 0)[:, :, None], out + chunk_bias[:, :, None],
-                    jnp.inf)
+    # Lane-level tail mask + padding-slot mask, fused with the bias add (one
+    # elementwise pass either way; garbage in unwritten/tail lanes can be
+    # NaN, so a plain +inf bias add would not be enough). Masking out here
+    # lets the kernel store raw sums with no per-chunk iota/select.
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    out = jnp.where(lane[None, None, :] < chunk_len[:, :, None],
+                    out + chunk_bias[:, :, None], jnp.inf)
     return out.reshape(B, nch * CHUNK)
 
 
@@ -256,13 +276,16 @@ def adc_search_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
-                     "interpret", "precision"))
+                     "interpret", "precision", "coarse_approx",
+                     "coarse_recall"))
 def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
                        nch: int, coarse_block: int, use_opq: bool,
                        interpret: bool = False,
-                       precision=jax.lax.Precision.HIGHEST):
+                       precision=jax.lax.Precision.HIGHEST,
+                       coarse_approx: bool = False,
+                       coarse_recall: float = 0.95):
     """Whole-query-set search in ONE launch: queries [G, B, d] are processed
     by lax.map over G sub-batches of the fused core. Remote-tunnel dispatch
     costs ~ms per launch, so one mega-launch at 8k+ queries is worth
@@ -272,7 +295,8 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
             q, centroids, centroid_norms, codebooks, norm_centroids, R,
             tiles, ids_aligned, tile_offsets, list_sizes, max_codes,
             nprobe=nprobe, k=k, nch=nch, coarse_block=coarse_block,
-            use_opq=use_opq, interpret=interpret, precision=precision)
+            use_opq=use_opq, interpret=interpret, precision=precision,
+            coarse_approx=coarse_approx, coarse_recall=coarse_recall)
 
     return jax.lax.map(one, queries)
 
@@ -280,13 +304,16 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
-                     "interpret", "precision"))
+                     "interpret", "precision", "coarse_approx",
+                     "coarse_recall"))
 def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
                        nch: int, coarse_block: int, use_opq: bool,
                        interpret: bool = False,
-                       precision=jax.lax.Precision.HIGHEST):
+                       precision=jax.lax.Precision.HIGHEST,
+                       coarse_approx: bool = False,
+                       coarse_recall: float = 0.95):
     """End-to-end IVFADC search step on the Pallas engine, fused into ONE
     XLA program (per-op dispatch through the remote-TPU tunnel costs ~ms, so
     the whole coarse -> LUT -> schedule -> scan -> top-k chain must be a
@@ -294,7 +321,8 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
     qc_dists, probes = streaming_topk_l2(
         queries, centroids, nprobe, block=coarse_block,
-        point_sqnorms=centroid_norms, precision=precision)
+        point_sqnorms=centroid_norms, precision=precision,
+        approx=coarse_approx, recall_target=coarse_recall)
     q_rot = queries @ R.T if use_opq else queries
     luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
                               precision=precision)

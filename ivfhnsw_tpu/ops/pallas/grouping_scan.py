@@ -57,17 +57,30 @@ def grouping_chunk_metadata(probes, term1, eff_sizes, scan_sizes,
     starts = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), bounds[:, :-1]], axis=1)
     j = jnp.arange(nch, dtype=jnp.int32)
-    seg = jnp.sum((bounds[:, None, :] <= j[None, :, None]).astype(jnp.int32),
-                  axis=2)
-    seg_c = jnp.minimum(seg, P - 1)
-    within = j[None, :] - jnp.take_along_axis(starts, seg_c, axis=1)
-    tile = (tile_offsets[jnp.take_along_axis(probes, seg_c, axis=1)]
-            .astype(jnp.int32) + within)
-    ln = jnp.clip(jnp.take_along_axis(scan_sizes, seg_c, axis=1)
-                  - within * CHUNK, 0, CHUNK)
+
+    # 8-lane packed row gather + one-hot einsum selection — see
+    # adc_scan.chunk_metadata for why (1-lane gathers and take_along_axis
+    # on [B, P] rows are ~ms-scale on TPU; this form is ~5-20x faster).
+    pack = jnp.pad(tile_offsets.astype(jnp.float32)[:, None],
+                   ((0, 0), (0, 7)))
+    tile_off = jnp.take(pack, probes, axis=0)[..., 0]           # [B, P]
+    oh = jnp.logical_and(starts[:, None, :] <= j[None, :, None],
+                         bounds[:, None, :] > j[None, :, None])  # [B,nch,P]
+    vals = jnp.stack([starts.astype(jnp.float32),
+                      scan_sizes.astype(jnp.float32), term1, tile_off,
+                      jnp.broadcast_to(
+                          jnp.arange(P, dtype=jnp.float32)[None, :], (B, P))],
+                     axis=-1)                                   # [B, P, 5]
+    sel = jnp.einsum("bjp,bpv->bjv", oh.astype(jnp.float32), vals,
+                     precision=jax.lax.Precision.HIGHEST)       # [B, nch, 5]
     valid = j[None, :] < bounds[:, -1:]
+    within = j[None, :] - jnp.round(sel[..., 0]).astype(jnp.int32)
+    tile = jnp.round(sel[..., 3]).astype(jnp.int32) + within
+    ln = jnp.clip(jnp.round(sel[..., 1]).astype(jnp.int32) - within * CHUNK,
+                  0, CHUNK)
+    seg_c = jnp.round(sel[..., 4]).astype(jnp.int32)
     tl = jnp.where(valid, tile, 0) * TL_PACK + jnp.where(valid, ln, 0)
-    bias = jnp.where(valid, jnp.take_along_axis(term1, seg_c, axis=1), 0.0)
+    bias = jnp.where(valid, sel[..., 2], 0.0)
     return tl, bias, jnp.where(valid, seg_c, 0)
 
 
@@ -145,9 +158,9 @@ def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
             gsum = jnp.concatenate(
                 [half(tab[:, :128], tab[:, 128:], idx[:, :128]),
                  half(tab[:, :128], tab[:, 128:], idx[:, 128:])], axis=1)
-            dist = jnp.sum(gsum, axis=0, keepdims=True)    # [1, 256]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            out_ref[0, i, :] = jnp.where(lane < ln, dist, jnp.inf)[0]
+            # Raw sums stored; the caller masks tail lanes (>= ln) outside
+            # the kernel where the mask fuses into one elementwise pass.
+            out_ref[0, i, :] = jnp.sum(gsum, axis=0)       # [256]
         # ln == 0 (padding slot): no store — masked +inf by the caller.
 
 
@@ -197,26 +210,32 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, seg, luts_ext, term2_tab, tiles)
-    # Padding slots (len 0) were never written by the kernel: mask to +inf
-    # (garbage can be NaN, which would poison the later bias add).
-    out = jnp.where((jax.lax.rem(tl, TL_PACK) > 0)[:, :, None], out, jnp.inf)
+    # Lane-level tail mask + padding-slot mask in one elementwise pass
+    # (unwritten/tail lanes can be NaN, which would poison the bias add).
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    out = jnp.where(
+        lane[None, None, :] < jax.lax.rem(tl, TL_PACK)[:, :, None],
+        out, jnp.inf)
     return out.reshape(B, nch * CHUNK)[:, :nch_orig * CHUNK]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "nsubc", "coarse_block",
-                     "use_opq", "do_pruning", "interpret", "precision"))
+                     "use_opq", "do_pruning", "interpret", "precision",
+                     "coarse_approx", "coarse_recall"))
 def grouping_pallas_search_many(queries, *args, nprobe, k, nch, nsubc,
                                 coarse_block, use_opq, do_pruning,
-                                interpret=False, precision=HIGHEST):
+                                interpret=False, precision=HIGHEST,
+                                coarse_approx=False, coarse_recall=0.95):
     """Whole query set [G, B, d] in one launch (lax.map over sub-batches;
     see adc_scan.pallas_search_many for why)."""
     def one(q):
         return grouping_pallas_search_core(
             q, *args, nprobe=nprobe, k=k, nch=nch, nsubc=nsubc,
             coarse_block=coarse_block, use_opq=use_opq,
-            do_pruning=do_pruning, interpret=interpret, precision=precision)
+            do_pruning=do_pruning, interpret=interpret, precision=precision,
+            coarse_approx=coarse_approx, coarse_recall=coarse_recall)
 
     return jax.lax.map(one, queries)
 
@@ -224,13 +243,15 @@ def grouping_pallas_search_many(queries, *args, nprobe, k, nch, nsubc,
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "nsubc", "coarse_block",
-                     "use_opq", "do_pruning", "interpret", "precision"))
+                     "use_opq", "do_pruning", "interpret", "precision",
+                     "coarse_approx", "coarse_recall"))
 def grouping_pallas_search_core(
         queries, centroids, centroid_norms, codebooks, norm_centroids, R,
         tiles, ids_aligned, tile_offsets, nn_idxs, alphas, inter_dists,
         sub_sizes, max_codes, *, nprobe: int, k: int, nch: int, nsubc: int,
         coarse_block: int, use_opq: bool, do_pruning: bool,
-        interpret: bool = False, precision=HIGHEST):
+        interpret: bool = False, precision=HIGHEST,
+        coarse_approx: bool = False, coarse_recall: float = 0.95):
     """Fused grouping search. sub_sizes [nc, nsubc] i32 subgroup sizes;
     tile_offsets [nc+1] group tile starts."""
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
@@ -238,21 +259,36 @@ def grouping_pallas_search_core(
 
     qc_dists, probes = streaming_topk_l2(
         queries, centroids, nprobe, block=coarse_block,
-        point_sqnorms=centroid_norms, precision=precision)
+        point_sqnorms=centroid_norms, precision=precision,
+        approx=coarse_approx, recall_target=coarse_recall)
 
     p_nn = nn_idxs[probes]                                # [B, P, S]
     q_sq = jnp.sum(queries ** 2, axis=1)
 
+    # Neighbor-centroid distances: gather centroid rows EXTENDED with their
+    # norm as a trailing lane — a separate centroid_norms[nn_p] would be a
+    # 1-lane gather of B*P*S elements, which XLA lowers to a ~ms-scale
+    # element loop (see adc_scan.chunk_metadata).
+    cent_ext = jnp.concatenate([centroids, centroid_norms[:, None]], axis=1)
+
     def nn_dist_one_probe(nn_p):
-        cn = centroids[nn_p]
-        ip = jnp.einsum("bsd,bd->bs", cn, queries, precision=precision,
+        cn = cent_ext[nn_p]                               # [B, S, d+1]
+        ip = jnp.einsum("bsd,bd->bs", cn[..., :-1], queries,
+                        precision=precision,
                         preferred_element_type=jnp.float32)
-        return q_sq[:, None] - 2.0 * ip + centroid_norms[nn_p]
+        # (query-to-neighbor dist, neighbor norm) stacked on a new axis.
+        return jnp.stack([q_sq[:, None] - 2.0 * ip + cn[..., -1],
+                          cn[..., -1]], axis=0)
 
-    qn_dists = jnp.moveaxis(
-        jax.lax.map(nn_dist_one_probe, jnp.moveaxis(p_nn, 1, 0)), 0, 1)
+    qn = jnp.moveaxis(
+        jax.lax.map(nn_dist_one_probe, jnp.moveaxis(p_nn, 1, 0)), 0, 2)
+    qn_dists, nn_norms = qn[0], qn[1]                     # [B, P, S]
 
-    a = alphas[probes]                                    # [B, P]
+    # alpha + centroid norm at the probes: one packed 8-lane row gather.
+    apack = jnp.pad(jnp.stack([alphas, centroid_norms], axis=1),
+                    ((0, 0), (0, 6)))
+    ag = jnp.take(apack, probes, axis=0)                  # [B, P, 8]
+    a, probe_norms = ag[..., 0], ag[..., 1]               # [B, P]
     one_m_a = (1.0 - a)[:, :, None]
     a_b = a[:, :, None]
     ssz = sub_sizes[probes].astype(jnp.int32)             # [B, P, S]
@@ -276,8 +312,8 @@ def grouping_pallas_search_core(
     else:
         scan_slot = nonempty
 
-    term1 = one_m_a[:, :, 0] * (qc_dists - centroid_norms[probes])  # [B, P]
-    term2 = a_b * (qn_dists - centroid_norms[p_nn])       # [B, P, S]
+    term1 = one_m_a[:, :, 0] * (qc_dists - probe_norms)   # [B, P]
+    term2 = a_b * (qn_dists - nn_norms)                   # [B, P, S]
     # Per-(query, probe) lane table: term2 where scanned, +inf where pruned
     # or empty; lanes >= nsubc unreachable (subc row is always < nsubc).
     t2_tab = jnp.full((B, nprobe, 256), jnp.inf, jnp.float32)

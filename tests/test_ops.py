@@ -125,3 +125,20 @@ def test_hierarchical_seed_large_k(rng):
     _, idx = assign_top1(jnp.asarray(data), jnp.asarray(seeds))
     counts = np.bincount(np.asarray(idx), minlength=k)
     assert counts.max() / max(counts.mean(), 1) < 20.0
+
+
+def test_streaming_topk_approx_mode(rng):
+    """approx=True (the large-nc coarse probe-selection mode,
+    SearchParams.coarse_mode) keeps the sorted-ascending contract and on
+    the CPU backend matches the exact path (approx_min_k falls back to an
+    exact reduction off-TPU)."""
+    import jax.numpy as jnp
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+
+    pts = jnp.asarray(rng.randn(2048, 16).astype(np.float32))
+    q = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    de, ie = streaming_topk_l2(q, pts, 16, block=512)
+    da, ia = streaming_topk_l2(q, pts, 16, block=512, approx=True)
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(ia))
+    d_np = np.asarray(da)
+    assert (np.diff(d_np, axis=1) >= -1e-6).all()
