@@ -48,6 +48,16 @@ NSUBC = 64
 CEIL_NQ = 2048          # query subset for the exact-ADC ceiling
 S_NB, S_NC, S_NQ = 20_000_000, 131_072, 2048
 S_NPROBE, S_MC = 128, 30_000
+# scale2: canonical-geometry point — reference list economics (~1000
+# codes/list, examples/run_sift1b.sh: nb=1e9/nc=993127) at the chip's
+# memory scale, with the reference's largest operating point
+# (nprobe=128, max_codes=100k) and the ROUTED two-level assigner doing
+# the build (the "assign 1B in hours" path; corpus has mesoscale
+# structure, which real descriptor data has and routing needs).
+# 128 x 2^20 — an exact multiple of the 1M build batch (a ragged tail
+# batch would recompile every jitted build stage for its one-off shape).
+S2_NB, S2_NC, S2_NQ = 134_217_728, 131_072, 1024
+S2_NPROBE, S2_MC = 128, 100_000
 CORPUS_VERSION = 3  # v3: assignment at f32-fidelity precision
 
 
@@ -160,10 +170,14 @@ def measure_cpu_baseline(idx, queries, gt):
 # Exact-ADC recall ceiling
 # ---------------------------------------------------------------------------
 
-def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100)):
+def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100), precision=None,
+                      blk=32768):
     """Brute-force ADC over ALL reconstructions (= search with nprobe=nc,
     max_codes=0): dist = ||q||^2 - 2<q, c_key + decode(code)> + norm_table[
-    norm_code]. The best any probe policy could do with these codes."""
+    norm_code]. The best any probe policy could do with these codes.
+
+    precision defaults to HIGHEST; pass HIGH (f32-fidelity, 3-pass) for
+    100M+-code corpora, where HIGHEST falls off the fast MXU path."""
     import jax
     import jax.numpy as jnp
     from ivfhnsw_tpu.ops import opq as opq_ops
@@ -176,7 +190,7 @@ def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100)):
     kmax = max(ks)
     q = jnp.asarray(queries)
     qsq = jnp.sum(q ** 2, axis=1)
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision or jax.lax.Precision.HIGHEST
 
     @jax.jit
     def block_scores(codes_b, keys_b, ncodes_b):
@@ -192,7 +206,7 @@ def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100)):
         d_, i_ = jax.lax.top_k(-dist, kmax)
         return -d_, i_
 
-    BLK = 32768
+    BLK = blk
     ntotal = store.codes.shape[0]
     best_d = np.full((queries.shape[0], kmax), np.inf, np.float32)
     best_l = np.full((queries.shape[0], kmax), -1, np.int64)
@@ -514,6 +528,125 @@ def build_scale(key):
     return idx, queries, np.load(p_gt), build_s
 
 
+def build_scale2(key):
+    """Canonical-geometry point: 128M x 128d at nc=2^17 — the reference's
+    list economics (~1000 codes/list; run_sift1b.sh nb=1e9/nc=993127) and
+    its largest operating point (nprobe=128, max_codes=100k,
+    run_sift1b_grouping_OPQ.sh:39-48). The corpus has mesoscale structure
+    (2048 super-clusters -> 64 mid-clusters each -> points), which real
+    descriptor data has and which lets the ROUTED two-level assigner
+    (ops/hierarchical.py, the "assign 1B in hours" path) carry the build;
+    its exact-match rate vs the exact assigner is measured and returned."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+
+    sdir = os.path.join(CACHE, "scale2")
+    os.makedirs(sdir, exist_ok=True)
+    p_cent = os.path.join(sdir, "centroids.npy")
+    p_pq = os.path.join(sdir, "scale2.pq")
+    p_npq = os.path.join(sdir, "scale2.norm_pq")
+    p_idx = os.path.join(sdir, "scale2.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_q = os.path.join(sdir, "queries.npy")
+    p_meta = os.path.join(sdir, "build_meta.json")
+
+    cfg = IndexConfig(d=D, nc=S2_NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    if all(os.path.exists(p) for p in (p_cent, p_pq, p_npq, p_idx, p_gt,
+                                       p_q, p_meta)):
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+        with open(p_meta) as f:
+            meta = json.load(f)
+        return idx, np.load(p_q), np.load(p_gt), meta
+
+    hi = jax.lax.Precision.HIGH
+    rng = np.random.RandomState(7)
+    n_sup, mids_per = 2048, S2_NC // 2048
+    supers_np = rng.randn(n_sup, D).astype(np.float32) * 5.0
+    mids_np = (np.repeat(supers_np, mids_per, axis=0)
+               + rng.randn(S2_NC, D).astype(np.float32) * 1.5)
+    spectrum = (np.arange(1, D + 1) ** -0.5).astype(np.float32)
+    mix = rng.randn(D, D).astype(np.float32) / np.sqrt(D)
+    mids = jnp.asarray(mids_np)
+    spectrum_dev = jnp.asarray(spectrum)
+    mix_dev = jnp.asarray(mix)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def gen_dev(k, n):
+        ka, kn = jax.random.split(k)
+        a = jax.random.randint(ka, (n,), 0, S2_NC)
+        noise = jax.random.normal(kn, (n, D), jnp.float32) * spectrum_dev
+        return mids[a] + (noise @ mix_dev) * 0.7
+
+    qrs = jax.random.PRNGKey(77)
+    queries = np.asarray(gen_dev(qrs, S2_NQ))
+    np.save(p_q, queries)
+
+    t_build = time.time()
+    if os.path.exists(p_cent):
+        idx.set_centroids(np.load(p_cent))
+    else:
+        log(f"scale2: training nc={S2_NC} centroids ...")
+        learn = np.asarray(gen_dev(jax.random.PRNGKey(78), 2_000_000))
+        idx.train_centroids(key, learn, niter=4)
+        np.save(p_cent, np.asarray(idx.centroids))
+        del learn
+        log(f"scale2: centroids ready ({time.time()-t_build:.1f}s)")
+    if os.path.exists(p_pq):
+        idx.load_quantizers(p_pq, p_npq)
+    else:
+        learn = np.asarray(gen_dev(jax.random.PRNGKey(79), 262_144))
+        idx.train_pq(key, learn)
+        idx.save_quantizers(p_pq, p_npq)
+        del learn
+        log(f"scale2: quantizers ready ({time.time()-t_build:.1f}s)")
+
+    log("scale2: routed assigner setup + match-rate sample ...")
+    idx.enable_fast_assign(w=4, n_super=2048, key=jax.random.PRNGKey(80))
+    sample = np.asarray(gen_dev(jax.random.PRNGKey(81), 32_768))
+    exact_keys = idx._assign_device_exact(jnp.asarray(sample))
+    match_rate = float(
+        (idx._fast_assigner.assign(sample) == exact_keys).mean())
+    log(f"scale2: routed exact-match rate = {match_rate:.4f}")
+    if match_rate < 0.98:
+        log("scale2: match rate below 0.98 — falling back to exact assign")
+        idx._fast_assigner = None
+
+    log(f"scale2: streaming {S2_NB} vectors (routed device build + gt) ...")
+    qj = jnp.asarray(queries)
+    best_d = np.full((S2_NQ, 1), np.inf, np.float32)
+    best_l = np.full((S2_NQ, 1), -1, np.int64)
+    bs = 1_048_576
+    for bi, off in enumerate(range(0, S2_NB, bs)):
+        blk = gen_dev(jax.random.PRNGKey(1000 + bi), min(bs, S2_NB - off))
+        idx.add_batch_device(blk, np.arange(off, off + blk.shape[0],
+                                            dtype=np.int32))
+        d_, i_ = streaming_topk_l2(qj, blk, 1, block=131_072, precision=hi)
+        d_, i_ = np.asarray(d_), np.asarray(i_) + off
+        upd = d_[:, 0] < best_d[:, 0]
+        best_d[upd] = d_[upd]
+        best_l[upd] = i_[upd]
+        if bi % 8 == 0 or off + bs >= S2_NB:
+            log(f"  scale2: {off + blk.shape[0]}/{S2_NB} "
+                f"({time.time()-t_build:.1f}s)")
+    idx._fast_assigner = None  # release routing state before the big store
+    idx.finalize()
+    build_s = time.time() - t_build
+    idx.write(p_idx)
+    np.save(p_gt, best_l)
+    meta = {"build_seconds": round(build_s, 1),
+            "routed_match_rate": round(match_rate, 4)}
+    with open(p_meta, "w") as f:
+        json.dump(meta, f)
+    log(f"scale2: index built in {build_s:.0f}s")
+    return idx, queries, best_l, meta
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -693,6 +826,42 @@ def main():
     except Exception as e:
         log(f"scale bench failed: {type(e).__name__}: {e}")
         result["scale_error"] = str(e)[:200]
+
+    # --- scale2: canonical list economics (128M vectors, ~1000 codes/list,
+    # nprobe=128, max_codes=100k, routed-assigner build)
+    try:
+        log("scale2: build/load ...")
+        s2idx, s2q, s2gt, s2meta = build_scale2(key)
+        sp2 = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC)
+        log("scale2: warmup + timed runs ...")
+        s2_qps, s2_labels = timed_qps(s2idx, s2q, sp2, runs=2, reshape=None,
+                                      depth=2)
+        s2rec = recall_at_k(s2_labels, s2gt, ks=(1, 10))
+        p_ceil = os.path.join(CACHE, "scale2", "ceiling.json")
+        if os.path.exists(p_ceil):
+            with open(p_ceil) as f:
+                s2ceil = {int(kk): v for kk, v in json.load(f).items()}
+        else:
+            log("scale2: exact-ADC ceiling (256-query subset, 128M codes)")
+            s2ceil = exact_adc_ceiling(
+                s2idx, s2q[:256], s2gt, ks=(1, 10),
+                precision=jax.lax.Precision.HIGH, blk=131_072)
+            with open(p_ceil, "w") as f:
+                json.dump(s2ceil, f)
+        result.update({
+            "scale2_nb": S2_NB, "scale2_nc": S2_NC,
+            "scale2_qps_nprobe128_mc100k": round(s2_qps, 1),
+            "scale2_us_per_query": round(1e6 / s2_qps, 2),
+            "scale2_recall_at_1": round(s2rec[1], 4),
+            "scale2_recall_at_10": round(s2rec[10], 4),
+            "scale2_ceiling_at_1": round(s2ceil[1], 4),
+            "scale2_ceiling_at_10": round(s2ceil[10], 4),
+            "scale2_build_seconds": s2meta["build_seconds"],
+            "scale2_routed_match_rate": s2meta["routed_match_rate"],
+        })
+    except Exception as e:
+        log(f"scale2 bench failed: {type(e).__name__}: {e}")
+        result["scale2_error"] = str(e)[:200]
 
     with open(os.path.join(CACHE, "last_result.json"), "w") as f:
         json.dump(result, f)

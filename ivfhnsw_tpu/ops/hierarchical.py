@@ -215,10 +215,20 @@ class TwoLevelAssigner:
         return out
 
     def _exact(self, x) -> np.ndarray:
+        """Exact fallback, row-batched: the per-step [rows, block] score
+        matrix is capped at ~1 GB (an unbatched call on a large unresolved
+        set would materialize rows x nc — 270 GB at 1M x 2^17)."""
         from ivfhnsw_tpu.ops.distances import assign_top1
-        _, idx = assign_top1(jnp.asarray(x), self.centroids,
-                             point_sqnorms=self.centroid_norms)
-        return np.asarray(idx, np.int32)
+        x = np.asarray(x, np.float32)
+        block = min(65536, int(self.centroids.shape[0]))
+        rows = max(1024, (1 << 28) // max(block, 1))
+        out = np.empty(x.shape[0], np.int32)
+        for off in range(0, x.shape[0], rows):
+            _, idx = assign_top1(jnp.asarray(x[off:off + rows]),
+                                 self.centroids, block=block,
+                                 point_sqnorms=self.centroid_norms)
+            out[off:off + rows] = np.asarray(idx, np.int32)
+        return out
 
     @staticmethod
     def _bucketize(sid, n_super: int, Bp: int):
