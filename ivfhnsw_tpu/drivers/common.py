@@ -93,6 +93,10 @@ class SyntheticDataset:
         for off in range(0, self.nb, batch):
             yield off, self.base[off:off + batch]
 
+    @property
+    def total_base(self) -> int:
+        return self.nb
+
 
 class FileDataset:
     """File-backed dataset per the reference path conventions."""
@@ -118,13 +122,19 @@ class FileDataset:
         return self._learn
 
     def base_batches(self, batch: int = ASSIGN_BATCH):
-        cfg = self._cfg
-        total = cfg.nb or io.xvec_count(
-            cfg.path_base, self._d, io.XVEC_DTYPES[
-                os.path.splitext(cfg.path_base)[1]])
+        total = self.total_base
         for off in range(0, total, batch):
             n = min(batch, total - off)
-            yield off, io.read_xvec_fvec(cfg.path_base, self._d, n, off)
+            yield off, io.read_xvec_fvec(self._cfg.path_base, self._d, n,
+                                         off)
+
+    @property
+    def total_base(self) -> int:
+        """Base-vector count from the file size (no decode sweep)."""
+        cfg = self._cfg
+        return cfg.nb or io.xvec_count(
+            cfg.path_base, self._d,
+            io.XVEC_DTYPES[os.path.splitext(cfg.path_base)[1]])
 
 
 def get_dataset(cfg: RunConfig, synthetic_seed: int | None = None,
@@ -180,7 +190,7 @@ def load_or_assign(index, cfg: RunConfig, ds) -> np.ndarray | None:
     format (test_ivfhnsw_sift1b.cpp:95-120). Returns the full idx array, or
     None if unavailable and not needed."""
     path = cfg.path_precomputed_idxs
-    total = sum(b.shape[0] for _, b in ds.base_batches())
+    total = ds.total_base
     if path and os.path.exists(path):
         log(f"loading precomputed idxs from {path}")
         # Records are [u32 dim=batch_size | batch_size u32 entries].
@@ -196,7 +206,7 @@ def load_or_assign(index, cfg: RunConfig, ds) -> np.ndarray | None:
     log("assigning base vectors to centroids ...")
     chunks = []
     done = 0
-    for off, batch in ds.base_batches():
+    for off, batch in io.prefetch(ds.base_batches()):
         chunks.append(index.assign(batch))
         done += batch.shape[0]
         log(f"  assigned {done}/{total} [{w.elapsed_s():.1f}s]")
@@ -221,15 +231,15 @@ def build_or_read_index(index, cfg: RunConfig, ds, idxs,
         index.read(path)
         return
     w = StopW()
-    total = sum(b.shape[0] for _, b in ds.base_batches())
+    total = ds.total_base
     if grouping:
         index.compute_neighbor_centroids()
         log("alpha pass ...")
-        for off, batch in ds.base_batches():
+        for off, batch in io.prefetch(ds.base_batches()):
             index.alpha_pass(batch, idxs[off:off + batch.shape[0]])
         index.finalize_alphas()
     log("adding base vectors ...")
-    for off, batch in ds.base_batches():
+    for off, batch in io.prefetch(ds.base_batches()):
         n = batch.shape[0]
         index.add_batch(batch, np.arange(off, off + n, dtype=np.int32),
                         idxs[off:off + n] if idxs is not None else None)

@@ -26,7 +26,7 @@ def main() -> float:
     idxs = C.load_or_assign(index, cfg, ds)
     C.build_or_read_index(index, cfg, ds, idxs)
 
-    nq = min(cfg.nq or 10_000, sum(b.shape[0] for _, b in ds.base_batches()))
+    nq = min(cfg.nq or 10_000, ds.total_base)
     _, first = next(ds.base_batches())
     queries = first[:nq]
     w = C.StopW()

@@ -214,6 +214,56 @@ def get_index_name(path_idx: str, idx: int) -> str:
     return f"{path_idx}_{idx:02d}.index"
 
 
+def prefetch(iterable, depth: int = 2):
+    """Run a batch iterator in a background thread, keeping up to ``depth``
+    items decoded ahead of the consumer.
+
+    The reference's add loop is strictly sequential: read a 1M-vector batch
+    from the .bvecs file, then encode it, then read the next
+    (test_ivfhnsw_sift1b.cpp:125-162). On TPU the encode step runs on the
+    device, so host file IO + xvec decode (native C decoder — the GIL is
+    released for the duration of the call) can fully overlap with it; this
+    wrapper is what the build drivers and ``StreamedIndexBuild`` consumers
+    use to get that overlap. Exceptions in the producer propagate to the
+    consumer at the point of the failed item; abandoning the generator
+    (break / GC) stops the producer thread promptly.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    DONE = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(DONE)
+        except BaseException as e:  # forwarded, re-raised consumer-side
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def random_subset(data: np.ndarray, n_sub: int, seed: int = 1234) -> np.ndarray:
     """random_subset equivalent (utils.cpp:12-20): sample n_sub rows without
     replacement with a fixed default seed of 1234."""

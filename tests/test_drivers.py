@@ -133,7 +133,11 @@ def test_example_script_smoke(tmp_path):
     override, tiny sizes)."""
     import os
     import subprocess
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PALLAS_AXON_POOL_IPS="" skips the interpreter-startup TPU backend
+    # registration (sitecustomize) — without it the subprocess claims the
+    # single TPU grant at startup and stalls behind any device-resident run
+    # even though it computes on CPU.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     r = subprocess.run(
         ["bash", "examples/run_sift1b.sh",
          "-synthetic", "0", "-d", "16", "-nc", "32", "-nb", "6000",
@@ -145,7 +149,7 @@ def test_example_script_smoke(tmp_path):
          "-path_pq", str(tmp_path / "q.pq"),
          "-path_norm_pq", str(tmp_path / "n.pq"),
          "-path_index", str(tmp_path / "x.index")],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Recall@" in r.stdout

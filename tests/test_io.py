@@ -71,3 +71,71 @@ def test_random_subset_deterministic(rng):
     b = io.random_subset(data, 10)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (10, 4)
+
+
+def test_prefetch_preserves_order_and_values():
+    items = [(i, np.full((4,), i)) for i in range(20)]
+    got = list(io.prefetch(iter(items), depth=3))
+    assert [o for o, _ in got] == list(range(20))
+    for (_, a), (_, b) in zip(got, items):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_propagates_producer_exception():
+    def gen():
+        yield 0, np.zeros(2)
+        raise RuntimeError("decode failed")
+
+    it = io.prefetch(gen(), depth=2)
+    assert next(it)[0] == 0
+    try:
+        next(it)
+    except RuntimeError as e:
+        assert "decode failed" in str(e)
+    else:
+        raise AssertionError("producer exception not propagated")
+
+
+def test_prefetch_early_abandon_stops_producer():
+    import threading
+
+    produced = []
+    release = threading.Event()
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i, None
+            if i > 2:
+                # producer should be stopped long before the tail
+                release.wait(0.01)
+
+    it = io.prefetch(gen(), depth=1)
+    assert next(it)[0] == 0
+    it.close()  # abandon; the finally-block signals the producer to stop
+    release.set()
+    import time
+    time.sleep(0.3)
+    assert len(produced) < 1000
+
+
+def test_file_dataset_total_base_counts_without_decode(tmp_path, rng):
+    from ivfhnsw_tpu.drivers.common import FileDataset
+    from ivfhnsw_tpu.utils.config import IndexConfig, RunConfig
+
+    d = 8
+    base = (rng.rand(37, d) * 255).astype(np.uint8)
+    queries = rng.rand(5, d).astype(np.float32)
+    gt = np.zeros((5, 1), np.int32)
+    pb = str(tmp_path / "base.bvecs")
+    pq_ = str(tmp_path / "q.fvecs")
+    pg = str(tmp_path / "gt.ivecs")
+    io.write_xvec(pb, base)
+    io.write_xvec(pq_, queries)
+    io.write_xvec(pg, gt)
+    cfg = RunConfig(index=IndexConfig(d=d, nc=4), nq=5, ngt=1,
+                    path_base=pb, path_q=pq_, path_gt=pg)
+    ds = FileDataset(cfg)
+    assert ds.total_base == 37
+    batches = list(ds.base_batches(batch=10))
+    assert sum(b.shape[0] for _, b in batches) == 37
