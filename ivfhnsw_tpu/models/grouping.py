@@ -550,8 +550,8 @@ class IVFADCGroupingIndex(IVFADCIndex):
                     self.pq.codebooks, self.norm_pq.centroids,
                     self.opq_R if self.do_opq else
                     jnp.zeros((0, 0), jnp.float32),
-                    store.codes, store.ids, store.norm_codes,
-                    store.list_offsets, self.nn_centroid_idxs, self.alphas,
+                    store.codes_d, store.ids_d, store.norm_codes_d,
+                    store.list_offsets_d, self.nn_centroid_idxs, self.alphas,
                     self.inter_centroid_dists, self._group_sizes(),
                     jnp.int32(params.max_codes),
                     nprobe=nprobe, k=params.k, L=self._scan_budget(params),

@@ -529,8 +529,8 @@ class IVFADCIndex:
                     self.pq.codebooks, self.norm_pq.centroids,
                     self.opq_R if self.do_opq else
                     jnp.zeros((0, 0), jnp.float32),
-                    store.codes, store.ids, store.norm_codes,
-                    store.list_offsets, jnp.int32(params.max_codes),
+                    store.codes_d, store.ids_d, store.norm_codes_d,
+                    store.list_offsets_d, jnp.int32(params.max_codes),
                     nprobe=nprobe, k=params.k, L=L,
                     coarse_block=min(self.coarse_block,
                                      _round_up(self.nc, 128)),
@@ -600,10 +600,11 @@ class IVFADCIndex:
                  if self.do_opq else queries)
         luts = self.pq.ip_luts(q_rot)
         pos, seg, valid, _ = adc_ops.probe_positions(
-            probes, store.list_offsets, jnp.int32(params.max_codes), L)
-        g_codes = jnp.take(store.codes, pos, axis=0)
-        g_ids = jnp.take(store.ids, pos, axis=0)
-        g_norm = self.norm_pq.decode(jnp.take(store.norm_codes, pos, axis=0))
+            probes, store.list_offsets_d, jnp.int32(params.max_codes), L)
+        g_codes = jnp.take(store.codes_d, pos, axis=0)
+        g_ids = jnp.take(store.ids_d, pos, axis=0)
+        g_norm = self.norm_pq.decode(
+            jnp.take(store.norm_codes_d, pos, axis=0))
         term1_probe = qc_dists - jnp.take(self.centroid_norms, probes, axis=0)
         bias = jnp.take_along_axis(term1_probe, seg, axis=1) + g_norm
         dists, sel = adc_ops.adc_scan(luts, g_codes, bias, valid, params.k)
@@ -628,10 +629,11 @@ class IVFADCIndex:
                  if self.do_opq else queries)
         luts = self.pq.ip_luts(q_rot)
         pos, seg, valid, _ = adc_ops.probe_positions(
-            probes, store.list_offsets, jnp.int32(0), L)
-        g_codes = jnp.take(store.codes, pos, axis=0)
-        g_ids = jnp.take(store.ids, pos, axis=0)
-        g_norm = self.norm_pq.decode(jnp.take(store.norm_codes, pos, axis=0))
+            probes, store.list_offsets_d, jnp.int32(0), L)
+        g_codes = jnp.take(store.codes_d, pos, axis=0)
+        g_ids = jnp.take(store.ids_d, pos, axis=0)
+        g_norm = self.norm_pq.decode(
+            jnp.take(store.norm_codes_d, pos, axis=0))
         term1_probe = qc_dists - jnp.take(self.centroid_norms, probes, axis=0)
         bias = jnp.take_along_axis(term1_probe, seg, axis=1) + g_norm
         idx = g_codes.astype(jnp.int32).transpose(0, 2, 1)
@@ -709,11 +711,10 @@ class IVFADCIndex:
             offsets = np.zeros(nc + 1, np.int64)
             np.cumsum(counts, out=offsets[1:])
             self.store = PostingListStore(
-                codes=jnp.asarray(
-                    codes_flat.reshape(-1, self.config.pq_m)),
-                ids=jnp.asarray(ids_flat.astype(np.int32)),
-                norm_codes=jnp.asarray(nrm_flat),
-                list_offsets=jnp.asarray(offsets.astype(np.int32)),
+                codes=codes_flat.reshape(-1, self.config.pq_m),
+                ids=ids_flat.astype(np.int32),
+                norm_codes=nrm_flat,
+                list_offsets=offsets.astype(np.int32),
                 nc=nc)
         else:
             def take_lenvec(dtype):

@@ -43,14 +43,49 @@ class TiledStore:
 
 @dataclass
 class PostingListStore:
-    """Finalized, device-resident posting lists."""
+    """Finalized posting lists.
 
-    codes: jnp.ndarray        # [N, M] uint8
-    ids: jnp.ndarray          # [N] int32
-    norm_codes: jnp.ndarray   # [N] uint8
-    list_offsets: jnp.ndarray  # [nc+1] int32
+    Canonical arrays are HOST numpy: serialization, tiling, sharding, and
+    incremental re-finalization all consume them host-side, and a remote
+    TPU tunnel moves only ~30 MB/s — keeping the canonical copy on device
+    (as round 1 did) cost a 2 GB-scale download + re-upload round-trip at
+    every (re)tile. Device consumers use the lazily-uploaded, cached
+    ``*_d`` mirrors; the Pallas engine uploads only its tile layout."""
+
+    codes: np.ndarray        # [N, M] uint8
+    ids: np.ndarray          # [N] int32
+    norm_codes: np.ndarray   # [N] uint8
+    list_offsets: np.ndarray  # [nc+1] int32
     nc: int
     _tiled: "TiledStore | None" = None
+
+    def __post_init__(self):
+        self.codes = np.asarray(self.codes, np.uint8)
+        self.ids = np.asarray(self.ids, np.int32)
+        self.norm_codes = np.asarray(self.norm_codes, np.uint8)
+        self.list_offsets = np.asarray(self.list_offsets, np.int32)
+        self._dev: dict = {}
+
+    def _mirror(self, name: str) -> jnp.ndarray:
+        if name not in self._dev:
+            self._dev[name] = jnp.asarray(getattr(self, name))
+        return self._dev[name]
+
+    @property
+    def codes_d(self) -> jnp.ndarray:
+        return self._mirror("codes")
+
+    @property
+    def ids_d(self) -> jnp.ndarray:
+        return self._mirror("ids")
+
+    @property
+    def norm_codes_d(self) -> jnp.ndarray:
+        return self._mirror("norm_codes")
+
+    @property
+    def list_offsets_d(self) -> jnp.ndarray:
+        return self._mirror("list_offsets")
 
     @property
     def ntotal(self) -> int:
@@ -227,10 +262,10 @@ class PostingListBuilder:
         offsets = np.zeros(self.nc + 1, np.int32)
         np.cumsum(sizes, out=offsets[1:])
         return PostingListStore(
-            codes=jnp.asarray(codes[order]),
-            ids=jnp.asarray(ids[order]),
-            norm_codes=jnp.asarray(ncodes[order]),
-            list_offsets=jnp.asarray(offsets),
+            codes=codes[order],
+            ids=ids[order],
+            norm_codes=ncodes[order],
+            list_offsets=offsets,
             nc=self.nc,
         )
 

@@ -86,9 +86,9 @@ def load_index(path: str):
         index.inter_centroid_dists = jnp.asarray(a["inter_centroid_dists"])
         index.alphas = jnp.asarray(a["alphas"])
     index.store = PostingListStore(
-        codes=jnp.asarray(a["codes"]), ids=jnp.asarray(a["ids"]),
-        norm_codes=jnp.asarray(a["norm_codes"]),
-        list_offsets=jnp.asarray(a["list_offsets"]),
+        codes=a["codes"], ids=a["ids"],
+        norm_codes=a["norm_codes"],
+        list_offsets=a["list_offsets"],
         nc=int(a["list_offsets"].shape[0] - 1))
     return index
 

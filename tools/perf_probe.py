@@ -171,5 +171,90 @@ def main():
         print(f"grouping full B{B}: {ms_g:.2f} ms ({ms_g*1e3/B:.2f} us/q)")
 
 
+def main_scale2():
+    """Component breakdown at the scale2 geometry (134M codes, nc=2^17,
+    nprobe=128, max_codes=100k) using the cached scale2 index."""
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
+    from ivfhnsw_tpu.ops.pallas import adc_scan as pk
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    from ivfhnsw_tpu.ops.topk import topk_smallest
+
+    sdir = os.path.join(CACHE, "scale2")
+    D, NC, NPROBE, MAX_CODES, K = 128, 131072, 128, 100_000, 10
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    idx = IVFADCIndex(IndexConfig(d=D, nc=NC, code_size=16))
+    idx.set_centroids(np.load(os.path.join(sdir, "centroids.npy")))
+    idx.load_quantizers(os.path.join(sdir, "scale2.pq"),
+                        os.path.join(sdir, "scale2.norm_pq"))
+    idx.read(os.path.join(sdir, "scale2.index"))
+    params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES)
+
+    nch = idx._pallas_nch(params, NPROBE)
+    B = idx._pallas_batch_cap(nch)
+    B = 1 << (B.bit_length() - 1)
+    queries = np.load(os.path.join(sdir, "queries.npy"))[:B]
+    q = jnp.asarray(queries)
+    args = idx._pallas_args()
+    (centroids, centroid_norms, codebooks, norm_centroids, R,
+     tiles, ids_aligned, tile_offsets, list_sizes) = args
+    mc = jnp.int32(MAX_CODES)
+    cblock = idx._coarse_block_for(B)
+    approx = idx._coarse_approx(params)
+    print(f"nch={nch} B={B} ntiles={tiles.shape[0]} "
+          f"coarse_block={cblock} approx={approx}", file=sys.stderr)
+
+    @jax.jit
+    def full(q):
+        return pk.pallas_search_core(
+            q, *args, mc, nprobe=NPROBE, k=K, nch=nch,
+            coarse_block=cblock, use_opq=False, coarse_approx=approx)
+    ms = marginal_ms(full, q, repeat=3)
+    print(f"full_core_B{B}: {ms:.2f} ms  ({ms*1e3/B:.2f} us/q)")
+
+    @jax.jit
+    def coarse(q):
+        return streaming_topk_l2(q, centroids, NPROBE, block=cblock,
+                                 point_sqnorms=centroid_norms,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 approx=approx, recall_target=0.95)
+    ms_c = marginal_ms(coarse, q, repeat=3)
+    print(f"coarse only: {ms_c:.2f} ms ({ms_c*1e3/B:.2f} us/q)")
+
+    @jax.jit
+    def pre(q):
+        qc, probes = coarse(q)
+        luts = pk.build_luts_ext(q, codebooks, norm_centroids,
+                                 precision=jax.lax.Precision.HIGHEST)
+        ct, cl, cb = pk.chunk_metadata(probes, qc, centroid_norms,
+                                       tile_offsets, list_sizes, mc, nch)
+        return luts, ct, cl, cb
+    ms_pre = marginal_ms(pre, q, repeat=3)
+    luts, ct, cl, cb = jax.block_until_ready(pre(q))
+    print(f"pre(coarse+lut+meta): {ms_pre:.2f} ms ({ms_pre*1e3/B:.2f} us/q)")
+    real_chunks = float(np.asarray((cl > 0).sum(axis=1)).mean())
+    print(f"mean real chunks/query: {real_chunks:.1f} of {nch}")
+
+    @jax.jit
+    def kern(luts, ct, cl, cb):
+        return pk.adc_scan_tiles(luts, ct, cl, cb, tiles)
+    ms_k = marginal_ms(kern, luts, ct, cl, cb, repeat=3)
+    dists = jax.block_until_ready(kern(luts, ct, cl, cb))
+    print(f"scan kernel: {ms_k:.2f} ms ({ms_k*1e3/B:.2f} us/q; "
+          f"{ms_k*1e6/B/real_chunks:.0f} ns/real-chunk)")
+
+    @jax.jit
+    def tk(d):
+        return topk_smallest(d, K)
+    ms_t = marginal_ms(tk, dists, repeat=3)
+    print(f"topk [{B},{dists.shape[1]}]: {ms_t:.2f} ms "
+          f"({ms_t*1e3/B:.2f} us/q)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale2" in sys.argv:
+        main_scale2()
+    else:
+        main()
