@@ -140,6 +140,10 @@ class IVFADCIndex:
         # shared scan, the fast path for batch workloads), and
         # "*_interpret" variants for CPU correctness testing.
         self.engine = "auto"
+        # Pallas-engine HBM tile layout: "quad" (default — 4 chunks per DMA,
+        # 18 B/code fetched, measured ~1.2x the per-chunk kernel at the
+        # primary bench point) or "chunk" (the round-1 per-chunk layout).
+        self.scan_layout = "quad"
         # Batch-engine knobs: queries per block, union-list capacity and
         # chunk capacity per block (None = heuristic; overflow is counted in
         # stats["batch_overflow"] — raise batch_u if it fires).
@@ -417,10 +421,11 @@ class IVFADCIndex:
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         store = self._ensure_store()
         mx = store.max_list_size()
+        gran = pk.RCHUNK if self.scan_layout == "quad" else pk.CHUNK
         if params.max_codes and params.max_codes > 0:
-            nch = (params.max_codes + mx) // pk.CHUNK + nprobe + 1
+            nch = (params.max_codes + mx) // gran + nprobe + 1
         else:
-            nch = nprobe * max(1, (mx + pk.CHUNK - 1) // pk.CHUNK)
+            nch = nprobe * max(1, (mx + gran - 1) // gran)
         return max(nch, 1)
 
     def _coarse_approx(self, params: SearchParams) -> bool:
@@ -440,7 +445,9 @@ class IVFADCIndex:
         return min(_round_up(self.nc, 128), max(self.coarse_block, cap))
 
     def _pallas_args(self):
-        tiled = self._ensure_store().tiled()
+        store = self._ensure_store()
+        tiled = (store.quad() if self.scan_layout == "quad"
+                 else store.tiled())
         return (self.centroids, self.centroid_norms, self.pq.codebooks,
                 self.norm_pq.centroids,
                 self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
@@ -459,7 +466,7 @@ class IVFADCIndex:
             coarse_block=self._coarse_block_for(len(blk)),
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
-            coarse_recall=params.coarse_recall)
+            coarse_recall=params.coarse_recall, layout=self.scan_layout)
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
@@ -503,7 +510,7 @@ class IVFADCIndex:
                 coarse_block=self._coarse_block_for(batch),
                 use_opq=self.do_opq,
                 coarse_approx=self._coarse_approx(params),
-                coarse_recall=params.coarse_recall)
+                coarse_recall=params.coarse_recall, layout=self.scan_layout)
             self.stats["queries"] += nq
             return (np.asarray(d).reshape(-1, params.k)[:nq],
                     np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))
@@ -585,7 +592,7 @@ class IVFADCIndex:
             coarse_block=self._coarse_block_for(queries_dev.shape[1]),
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
-            coarse_recall=params.coarse_recall)
+            coarse_recall=params.coarse_recall, layout=self.scan_layout)
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):

@@ -51,6 +51,30 @@ DEPTH = 32     # DMA pipeline slots; must exceed 2*CPS for safe slot reuse;
 TL_PACK = 512  # packed metadata: value = tile_idx * TL_PACK + chunk_len;
                # bounds per-shard tiles to 2^31/512 = 4.2M (1.07B codes)
 
+# --- quad-tile engine (the default IVFADC scan since round 2) -------------
+# Four 256-code chunks per HBM tile, code rows interleaved 4m+c so that
+#   - gathers waste 4/72 rows instead of 7/24 (the 8-row DMA alignment pad),
+#   - the per-chunk accumulation is a cheap 18-group sublane-strided sum
+#     yielding all four chunk rows at once (vs a 24-row cross-sublane tree),
+#   - one DMA descriptor + semaphore covers 1024 codes (17.2 B/code fetched
+#     vs 24), and
+#   - schedule metadata shrinks 4x, which relaxes the SMEM batch cap.
+# Measured on v5e at the primary bench point (B=1024): kernel 9.3 vs
+# 10.1 us/q — but the coarser slot granularity pads the masked output ~2.2x
+# wider (45k vs 20k lanes at nprobe=32/mc=10k), costing ~0.4 us/q more
+# top-k, so END-TO-END the two layouts are within noise of each other
+# (tools/quad_probe.py). Quad stays the default for its 25% smaller HBM
+# store (18 vs 24 fetched B/code). Posting lists are 1024-aligned in this
+# layout (<= RCHUNK-1 pad codes per list).
+QROWS = 72       # 64 interleaved code rows + 4 norm rows + 4 pad rows
+QNORM_ROW = 64   # rows 64..67 hold chunk 0..3 norm codes
+RCHUNK = 4 * CHUNK
+CPSQ = 2         # quad tiles per grid step -> 8 chunk rows out per step
+DEPTH_Q = 8      # quad DMA pipeline slots (> 2*CPSQ)
+RTL_PACK = 2048  # packed schedule: qtile * RTL_PACK + len (len <= RCHUNK);
+                 # bounds per-shard quad tiles to 2^31/2048 = 1.05M (1.07B
+                 # codes — same corpus bound as the chunk layout)
+
 
 def build_luts_ext(q_rot, codebooks, norm_centroids, precision=None):
     """[B, d] queries -> [B, LUT_ROWS, 256] f32 fused tables.
@@ -69,16 +93,14 @@ def build_luts_ext(q_rot, codebooks, norm_centroids, precision=None):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("nch",))
-def chunk_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
-                   max_codes, nch: int):
-    """Per-query chunk schedule.
+def _probe_schedule(probes, qc_dists, centroid_norms, tile_offsets,
+                    list_sizes, max_codes, n: int, gran: int):
+    """Shared schedule builder: expand per-probe posting lists into ``n``
+    fixed slots of ``gran`` codes each (gran=CHUNK for the per-chunk layout,
+    gran=RCHUNK for the quad layout).
 
-    probes [B, P] ascending-distance centroid ids; tile_offsets [nc+1] —
-    tile index where each list's aligned storage starts; list_sizes [nc].
-    Returns (chunk_tile [B, nch] i32, chunk_len [B, nch] i32,
-             chunk_bias [B, nch] f32).
-    """
+    Returns (slot_tile [B, n] i32, slot_len [B, n] i32 (<= gran),
+             slot_bias [B, n] f32)."""
     B, P = probes.shape
     nc = list_sizes.shape[0]
 
@@ -100,31 +122,67 @@ def chunk_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
         [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(sizes, axis=1)[:, :-1]],
         axis=1)
     included = jnp.logical_or(max_codes <= 0, cum_before < max_codes)
-    tcnt = jnp.where(included, (sizes + CHUNK - 1) // CHUNK, 0)  # [B, P]
+    tcnt = jnp.where(included, (sizes + gran - 1) // gran, 0)   # [B, P]
     bounds = jnp.cumsum(tcnt, axis=1)                           # [B, P]
     starts = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), bounds[:, :-1]], axis=1)
-    j = jnp.arange(nch, dtype=jnp.int32)
+    j = jnp.arange(n, dtype=jnp.int32)
 
-    # One-hot probe->chunk expansion: oh[b, j, p] = (chunk j belongs to
-    # probe p), then ONE einsum selects all per-chunk fields at once.
+    # One-hot probe->slot expansion: oh[b, j, p] = (slot j belongs to
+    # probe p), then ONE einsum selects all per-slot fields at once.
     # (take_along_axis on [B, P] rows costs ~0.8 ms per field on TPU; the
     # einsum does all four in ~0.2 ms.) HIGHEST precision keeps the f32
     # products exact; values are integers < 2^24, so round() is exact too.
     oh = jnp.logical_and(starts[:, None, :] <= j[None, :, None],
-                         bounds[:, None, :] > j[None, :, None])  # [B,nch,P]
+                         bounds[:, None, :] > j[None, :, None])  # [B, n, P]
     vals = jnp.stack([starts.astype(jnp.float32), sizes.astype(jnp.float32),
                       term1, tile_off], axis=-1)                # [B, P, 4]
     sel = jnp.einsum("bjp,bpv->bjv", oh.astype(jnp.float32), vals,
-                     precision=jax.lax.Precision.HIGHEST)       # [B, nch, 4]
+                     precision=jax.lax.Precision.HIGHEST)       # [B, n, 4]
     valid = j[None, :] < bounds[:, -1:]
     within = j[None, :] - jnp.round(sel[..., 0]).astype(jnp.int32)
     tile = jnp.round(sel[..., 3]).astype(jnp.int32) + within
-    ln = jnp.clip(jnp.round(sel[..., 1]).astype(jnp.int32) - within * CHUNK,
-                  0, CHUNK)
+    ln = jnp.clip(jnp.round(sel[..., 1]).astype(jnp.int32) - within * gran,
+                  0, gran)
     return (jnp.where(valid, tile, 0),
             jnp.where(valid, ln, 0),
             jnp.where(valid, sel[..., 2], 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def chunk_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
+                   max_codes, nch: int):
+    """Per-query chunk schedule (per-chunk tile layout).
+
+    probes [B, P] ascending-distance centroid ids; tile_offsets [nc+1] —
+    tile index where each list's aligned storage starts; list_sizes [nc].
+    Returns (chunk_tile [B, nch] i32, chunk_len [B, nch] i32,
+             chunk_bias [B, nch] f32).
+    """
+    return _probe_schedule(probes, qc_dists, centroid_norms, tile_offsets,
+                           list_sizes, max_codes, nch, CHUNK)
+
+
+@functools.partial(jax.jit, static_argnames=("nquad",))
+def quad_metadata(probes, qc_dists, centroid_norms, qtile_offsets,
+                  list_sizes, max_codes, nquad: int):
+    """Per-query RCHUNK-granular schedule against QUAD tile indices.
+
+    Returns (qtile [B, nquad] i32, qlen [B, nquad] i32 (<= RCHUNK),
+             qbias [B, nquad] f32)."""
+    return _probe_schedule(probes, qc_dists, centroid_norms, qtile_offsets,
+                           list_sizes, max_codes, nquad, RCHUNK)
+
+
+def build_luts_quad(luts_ext):
+    """[B, 24, 256] ext LUTs -> [B, 72, 256] quad LUTs: PQ table m is
+    replicated into rows 4m..4m+3 (matching the 4m+c code-row interleave),
+    the norm table into rows 64..67; rows 68..71 zero (match pad rows)."""
+    B = luts_ext.shape[0]
+    pq = jnp.repeat(luts_ext[:, :16, :], 4, axis=1)        # rows 4m+c
+    nrm = jnp.repeat(luts_ext[:, NORM_ROW:NORM_ROW + 1, :], 4, axis=1)
+    pad = jnp.zeros((B, QROWS - 68, 256), jnp.float32)
+    return jnp.concatenate([pq, nrm, pad], axis=1)
 
 
 def _adc_kernel(tl_smem,   # scalar prefetch: packed tile*TL_PACK + len
@@ -263,6 +321,9 @@ def adc_search_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
     Returns (dists [B, k], labels [B, k] int32)."""
     dists = adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias,
                            tiles, interpret=interpret)
+    # NOTE: flat lax.top_k measured faster than binned_topk_smallest at
+    # these widths on v5e (0.96 vs 0.99 us/q at 20k lanes) — see
+    # tools/quad_probe.py.
     best, sel = topk_smallest(dists, k)
     chunk_of = sel // CHUNK
     within = sel % CHUNK
@@ -273,11 +334,156 @@ def adc_search_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
     return best, labels
 
 
+def _adc_kernel_quad(qtl_smem,  # scalar prefetch: qtile*RTL_PACK + len
+                     luts_ref, qtiles_hbm, out_ref, scratch, sems):
+    """Quad-tile scan step: same DEPTH_Q-slot rolling DMA pipeline as
+    :func:`_adc_kernel`, but each slot moves one [72, 256] quad tile
+    (4 chunks / 1024 codes) and each compute emits FOUR chunk rows via an
+    18-group sublane-strided sum (rows 4m+c + norm rows 64+c + zero pads)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    nq = nsteps * CPSQ
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(qtiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    def start_for(gg):
+        bb = gg // nq
+        cc = jax.lax.rem(gg, nq)
+        tl = qtl_smem[bb, cc]
+
+        @pl.when(jax.lax.rem(tl, RTL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(gg, DEPTH_Q), tl // RTL_PACK).start()
+
+    g0 = b * nq + j * CPSQ
+
+    @pl.when(g0 == 0)
+    def _():
+        for w in range(DEPTH_Q - CPSQ):
+            @pl.when(w < nb * nq)
+            def _():
+                start_for(jnp.int32(w))
+
+    for i in range(CPSQ):
+        @pl.when(g0 + DEPTH_Q - CPSQ + i < nb * nq)
+        def _():
+            start_for(g0 + DEPTH_Q - CPSQ + i)
+
+    # Batched waits: all CPSQ semaphores cleared before any compute, so the
+    # vector pipeline streams through 8 chunk rows without scalar stalls.
+    for i in range(CPSQ):
+        g = g0 + i
+        tl = qtl_smem[b, j * CPSQ + i]
+
+        @pl.when(jax.lax.rem(tl, RTL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(g, DEPTH_Q), tl // RTL_PACK).wait()
+
+    lut = luts_ref[0]                                      # [72, 256]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+    def half(idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(lut0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(lut1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
+
+    for i in range(CPSQ):
+        g = g0 + i
+        tl = qtl_smem[b, j * CPSQ + i]
+        ln = jax.lax.rem(tl, RTL_PACK)
+
+        @pl.when(ln > 0)
+        def _():
+            idx = scratch[jax.lax.rem(g, DEPTH_Q)].astype(jnp.int32)
+            gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
+                                 axis=1)                   # [72, 256]
+            # Rows 4m+c: summing the 18 4-row sublane groups yields all four
+            # chunk rows at once (chunk c = sum over m of row 4m+c + norm
+            # row 64+c; pad rows gather lut zeros).
+            out_ref[0, i * 4:(i + 1) * 4, :] = jnp.sum(
+                gg.reshape(18, 4, 256), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def adc_scan_quad(luts_quad, qtile, qlen, qbias, qtiles,
+                  interpret: bool = False):
+    """Quad-tile scan. Returns dists [B, nquad*RCHUNK] f32 (masked +inf).
+
+    luts_quad [B, 72, 256] f32 (see build_luts_quad); qtile/qlen/qbias
+    [B, nquad] (see quad_metadata); qtiles [NQT, 72, 256] u8."""
+    B, nquad = qtile.shape
+    if nquad % CPSQ:
+        pad = CPSQ - nquad % CPSQ
+        qtile = jnp.pad(qtile, ((0, 0), (0, pad)))
+        qlen = jnp.pad(qlen, ((0, 0), (0, pad)))
+        qbias = jnp.pad(qbias, ((0, 0), (0, pad)))
+        nquad += pad
+    qtl = qtile * RTL_PACK + qlen
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nquad // CPSQ),
+        in_specs=[
+            pl.BlockSpec((1, QROWS, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, CPSQ * 4, CHUNK),
+                               lambda b, j, *_: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH_Q, QROWS, CHUNK), jnp.uint8),
+            pltpu.SemaphoreType.DMA((DEPTH_Q,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _adc_kernel_quad,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nquad * 4, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qtl, luts_quad, qtiles)
+    # Expand quad metadata to chunk granularity for the fused mask+bias pass
+    # (see adc_scan_tiles for why masking lives outside the kernel).
+    rr = jnp.arange(4, dtype=jnp.int32)
+    chunk_len = jnp.clip(qlen[:, :, None] - rr[None, None, :] * CHUNK,
+                         0, CHUNK).reshape(B, nquad * 4)
+    chunk_bias = jnp.broadcast_to(qbias[:, :, None],
+                                  (B, nquad, 4)).reshape(B, nquad * 4)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    out = jnp.where(lane[None, None, :] < chunk_len[:, :, None],
+                    out + chunk_bias[:, :, None], jnp.inf)
+    return out.reshape(B, nquad * 4 * CHUNK)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def adc_search_quad(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
+                    k: int, interpret: bool = False):
+    """Quad scan + top-k + id resolution. Returns (dists, labels) [B, k]."""
+    luts_quad = build_luts_quad(luts_ext)
+    dists = adc_scan_quad(luts_quad, qtile, qlen, qbias, qtiles,
+                          interpret=interpret)
+    best, sel = topk_smallest(dists, k)
+    quad_of = sel // RCHUNK
+    within = sel % RCHUNK
+    qtile_sel = jnp.take_along_axis(qtile, quad_of, axis=1)
+    labels = ids_aligned[qtile_sel * RCHUNK + within]
+    labels = jnp.where(jnp.isfinite(best), labels, -1)
+    return best, labels
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
                      "interpret", "precision", "coarse_approx",
-                     "coarse_recall"))
+                     "coarse_recall", "layout"))
 def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
@@ -285,7 +491,8 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        interpret: bool = False,
                        precision=jax.lax.Precision.HIGHEST,
                        coarse_approx: bool = False,
-                       coarse_recall: float = 0.95):
+                       coarse_recall: float = 0.95,
+                       layout: str = "chunk"):
     """Whole-query-set search in ONE launch: queries [G, B, d] are processed
     by lax.map over G sub-batches of the fused core. Remote-tunnel dispatch
     costs ~ms per launch, so one mega-launch at 8k+ queries is worth
@@ -296,7 +503,8 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
             tiles, ids_aligned, tile_offsets, list_sizes, max_codes,
             nprobe=nprobe, k=k, nch=nch, coarse_block=coarse_block,
             use_opq=use_opq, interpret=interpret, precision=precision,
-            coarse_approx=coarse_approx, coarse_recall=coarse_recall)
+            coarse_approx=coarse_approx, coarse_recall=coarse_recall,
+            layout=layout)
 
     return jax.lax.map(one, queries)
 
@@ -305,7 +513,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
                      "interpret", "precision", "coarse_approx",
-                     "coarse_recall"))
+                     "coarse_recall", "layout"))
 def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
@@ -313,11 +521,16 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        interpret: bool = False,
                        precision=jax.lax.Precision.HIGHEST,
                        coarse_approx: bool = False,
-                       coarse_recall: float = 0.95):
+                       coarse_recall: float = 0.95,
+                       layout: str = "chunk"):
     """End-to-end IVFADC search step on the Pallas engine, fused into ONE
     XLA program (per-op dispatch through the remote-TPU tunnel costs ~ms, so
     the whole coarse -> LUT -> schedule -> scan -> top-k chain must be a
-    single launch)."""
+    single launch).
+
+    layout selects the HBM tile format (must match the ``tiles`` /
+    ``tile_offsets`` arrays): "chunk" = [NT, 24, 256] per-chunk tiles,
+    "quad" = [NQT, 72, 256] quad tiles (nch counts RCHUNK slots)."""
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
     qc_dists, probes = streaming_topk_l2(
         queries, centroids, nprobe, block=coarse_block,
@@ -326,6 +539,11 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     q_rot = queries @ R.T if use_opq else queries
     luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
                               precision=precision)
+    if layout == "quad":
+        qt, ql, qb = quad_metadata(probes, qc_dists, centroid_norms,
+                                   tile_offsets, list_sizes, max_codes, nch)
+        return adc_search_quad(luts_ext, qt, ql, qb, tiles, ids_aligned, k,
+                               interpret=interpret)
     ct, cl, cb = chunk_metadata(probes, qc_dists, centroid_norms,
                                 tile_offsets, list_sizes, max_codes, nch)
     return adc_search_tiles(luts_ext, ct, cl, cb, tiles, ids_aligned, k,

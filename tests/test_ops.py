@@ -64,6 +64,28 @@ def test_topk_merge(rng):
     np.testing.assert_allclose(np.asarray(d), ref, rtol=1e-6)
 
 
+def test_binned_topk_exact(rng):
+    from ivfhnsw_tpu.ops.topk import binned_topk_smallest
+    x = rng.rand(8, 4096).astype(np.float32)
+    x[2, 100:110] = 0.0  # clustered minima land in one bin
+    for k in (1, 10, 64):
+        dv, iv = binned_topk_smallest(jnp.asarray(x), k)
+        dr, ir = topk_smallest(jnp.asarray(x), k)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dr), rtol=1e-7)
+        # label agreement up to exact-distance ties
+        mism = np.asarray(iv) != np.asarray(ir)
+        assert np.allclose(np.asarray(dv)[mism], np.asarray(dr)[mism])
+    # +inf-padded tails (the masked scan output shape)
+    x[:, 2000:] = np.inf
+    dv, iv = binned_topk_smallest(jnp.asarray(x), 16)
+    dr, _ = topk_smallest(jnp.asarray(x), 16)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dr), rtol=1e-7)
+    # non-divisible width falls back to the one-shot path
+    dv, _ = binned_topk_smallest(jnp.asarray(x[:, :4000]), 8)
+    dr, _ = topk_smallest(jnp.asarray(x[:, :4000]), 8)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dr), rtol=1e-7)
+
+
 def test_kmeans_separated_clusters(rng):
     # 4 well-separated blobs; k-means must find all 4 centers.
     centers = np.array([[0, 0], [10, 0], [0, 10], [10, 10]], np.float32)

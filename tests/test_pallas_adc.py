@@ -26,12 +26,14 @@ def built():
     return idx, queries
 
 
-def both_engines(idx, queries, params):
+def both_engines(idx, queries, params, layout="quad"):
     idx.engine = "xla"
     d1, l1 = idx.search(queries, params)
     idx.engine = "pallas_interpret"
+    idx.scan_layout = layout
     d2, l2 = idx.search(queries, params)
     idx.engine = "auto"
+    idx.scan_layout = "quad"
     return d1, l1, d2, l2
 
 
@@ -71,6 +73,47 @@ def test_pallas_opq():
     d1, l1, d2, l2 = both_engines(idx, queries,
                                   SearchParams(k=5, nprobe=4, max_codes=0))
     assert_same(d1, l1, d2, l2)
+
+
+def test_pallas_chunk_layout_matches_xla(built):
+    """The round-1 per-chunk layout stays available behind scan_layout."""
+    idx, queries = built
+    d1, l1, d2, l2 = both_engines(
+        idx, queries, SearchParams(k=10, nprobe=16, max_codes=300),
+        layout="chunk")
+    assert_same(d1, l1, d2, l2)
+
+
+def test_quad_store_layout(built):
+    """Quad tiles: code row 4m+c = subquantizer m of chunk c, rows 64..67 =
+    norm codes of chunks 0..3, lists 1024-aligned."""
+    idx, _ = built
+    store = idx.store
+    q = store.quad()
+    off = np.asarray(store.list_offsets)
+    qoff = np.asarray(q.tile_offsets)
+    sizes = off[1:] - off[:-1]
+    np.testing.assert_array_equal(np.diff(qoff), -(-sizes // 1024))
+    qt = np.asarray(q.tiles)
+    ids_al = np.asarray(q.ids_aligned)
+    codes = np.asarray(store.codes)
+    ncodes = np.asarray(store.norm_codes)
+    ids = np.asarray(store.ids)
+    c = int(np.argmax(sizes > 0))
+    lo, n = off[c], min(int(sizes[c]), 256)
+    t0 = qoff[c]
+    m = codes.shape[1]
+    # chunk 0 of the first quad tile: rows 4m+0
+    np.testing.assert_array_equal(qt[t0, 0:4 * m:4, :n], codes[lo:lo + n].T)
+    np.testing.assert_array_equal(qt[t0, 64, :n], ncodes[lo:lo + n])
+    np.testing.assert_array_equal(ids_al[t0 * 1024:t0 * 1024 + n],
+                                  ids[lo:lo + n])
+    if int(sizes[c]) > 256:  # chunk 1 rows 4m+1
+        n2 = min(int(sizes[c]) - 256, 256)
+        np.testing.assert_array_equal(qt[t0, 1:4 * m:4, :n2],
+                                      codes[lo + 256:lo + 256 + n2].T)
+        np.testing.assert_array_equal(qt[t0, 65, :n2],
+                                      ncodes[lo + 256:lo + 256 + n2])
 
 
 def test_tiled_store_layout(built):
