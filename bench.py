@@ -670,25 +670,40 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
     # Distinct buffers per pipelined launch: repeated launches with
     # byte-identical inputs have been observed to come back suspiciously
     # fast through the dev tunnel (result reuse), which would fake the
-    # sustained number.
-    qdevs = [shape(np.ascontiguousarray(np.roll(queries, r, axis=0)))
-             for r in range(depth)]
-    qdev = qdevs[0]
-    d_, l_ = idx.search_device(qdev, params)   # labels: unrolled queries
+    # sustained number. The reuse cache persists ACROSS PROCESSES, so the
+    # roll offsets must be unique per invocation (observed: a second bench
+    # run with the same fixed rolls reported 0.1 us/q on the primary stage)
+    # — so every timed launch gets NEVER-BEFORE-SEEN bytes: a per-process
+    # random base offset plus a monotonically advancing stride. Rolling
+    # permutes the query set, so the timed workload is unchanged; recall
+    # uses the unrolled warmup labels.
+    n = queries.shape[0]
+    base = int.from_bytes(os.urandom(4), "little")
+    ctr = [0]
+
+    def fresh():
+        ctr[0] += 1
+        off = (base + 997 * ctr[0]) % max(n - 1, 1) + 1
+        return shape(np.ascontiguousarray(np.roll(queries, off, axis=0)))
+
+    d_, l_ = idx.search_device(shape(queries), params)  # warmup + labels
     jax.block_until_ready(d_)
     best = float("inf")
     for r in range(runs):
+        qb = fresh()
+        qb.block_until_ready()           # upload outside the timed region
         t0 = time.perf_counter()
-        d2_, _ = idx.search_device(qdevs[r % depth], params)
+        d2_, _ = idx.search_device(qb, params)
         jax.block_until_ready(d2_)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         log(f"  single-launch run {r}: {dt*1e6/queries.shape[0]:.1f} us/q")
     best_sus = float("inf")
     for r in range(2):
+        qbs = [fresh() for _ in range(depth)]
+        jax.block_until_ready(qbs)
         t0 = time.perf_counter()
-        outs = [idx.search_device(qdevs[i % depth], params)
-                for i in range(depth)]
+        outs = [idx.search_device(qb, params) for qb in qbs]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / depth
         best_sus = min(best_sus, dt)
@@ -747,8 +762,13 @@ def main():
     log("primary: warmup + timed runs ...")
     qps, labels = timed_qps(idx, queries, params)
     _, _ = idx.search(queries, params)        # warm the host-path jit
+    # Fresh bytes for the timed host-path call (tunnel result-reuse cache —
+    # see timed_qps).
+    qroll = np.ascontiguousarray(np.roll(
+        queries, int.from_bytes(os.urandom(2), "little") % (NQ - 1) + 1,
+        axis=0))
     t0 = time.perf_counter()
-    _, _ = idx.search(queries, params)
+    _, _ = idx.search(qroll, params)
     e2e = time.perf_counter() - t0
     rec = recall_at_k(labels, gt, ks=(1, 10))
 
