@@ -140,10 +140,13 @@ class IVFADCIndex:
         # shared scan, the fast path for batch workloads), and
         # "*_interpret" variants for CPU correctness testing.
         self.engine = "auto"
-        # Pallas-engine HBM tile layout: "quad" (default — 4 chunks per DMA,
-        # 18 B/code fetched, measured ~1.2x the per-chunk kernel at the
-        # primary bench point) or "chunk" (the round-1 per-chunk layout).
-        self.scan_layout = "quad"
+        # Pallas-engine HBM tile layout: "auto" picks by average list size
+        # (see _resolve_layout), "quad" = 4 chunks per DMA / 18 fetched
+        # B/code, "chunk" = the round-1 per-chunk layout. Measured on v5e:
+        # quad wins 23% at ~1024-code lists (scale2 bench stage) but loses
+        # 39% at ~150-code lists (scale stage), where every probed list
+        # pads a whole 1024-lane slot.
+        self.scan_layout = "auto"
         # Batch-engine knobs: queries per block, union-list capacity and
         # chunk capacity per block (None = heuristic; overflow is counted in
         # stats["batch_overflow"] — raise batch_u if it fires).
@@ -417,11 +420,24 @@ class IVFADCIndex:
                                         + int(np.asarray(ov).sum()))
         return d[:B], l[:B]
 
+    def _resolve_layout(self) -> str:
+        """Pick the Pallas tile layout. "auto": quad when the average
+        posting list fills most of a 1024-code quad slot (the per-probe
+        padding waste is ~(RCHUNK - size % RCHUNK) lanes of masked top-k
+        width), chunk otherwise. Crossover set at 768 codes/list from the
+        measured scale (150/list: chunk 1.4x faster) and scale2 (1024/list:
+        quad 1.3x faster) bench stages."""
+        if self.scan_layout != "auto":
+            return self.scan_layout
+        store = self._ensure_store()
+        avg = store.ntotal / max(1, self.nc)
+        return "quad" if avg >= 768 else "chunk"
+
     def _pallas_nch(self, params: SearchParams, nprobe: int) -> int:
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         store = self._ensure_store()
         mx = store.max_list_size()
-        gran = pk.RCHUNK if self.scan_layout == "quad" else pk.CHUNK
+        gran = pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
         if params.max_codes and params.max_codes > 0:
             nch = (params.max_codes + mx) // gran + nprobe + 1
         else:
@@ -446,7 +462,7 @@ class IVFADCIndex:
 
     def _pallas_args(self):
         store = self._ensure_store()
-        tiled = (store.quad() if self.scan_layout == "quad"
+        tiled = (store.quad() if self._resolve_layout() == "quad"
                  else store.tiled())
         return (self.centroids, self.centroid_norms, self.pq.codebooks,
                 self.norm_pq.centroids,
@@ -466,7 +482,7 @@ class IVFADCIndex:
             coarse_block=self._coarse_block_for(len(blk)),
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
-            coarse_recall=params.coarse_recall, layout=self.scan_layout)
+            coarse_recall=params.coarse_recall, layout=self._resolve_layout())
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
@@ -510,7 +526,7 @@ class IVFADCIndex:
                 coarse_block=self._coarse_block_for(batch),
                 use_opq=self.do_opq,
                 coarse_approx=self._coarse_approx(params),
-                coarse_recall=params.coarse_recall, layout=self.scan_layout)
+                coarse_recall=params.coarse_recall, layout=self._resolve_layout())
             self.stats["queries"] += nq
             return (np.asarray(d).reshape(-1, params.k)[:nq],
                     np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))
@@ -592,7 +608,7 @@ class IVFADCIndex:
             coarse_block=self._coarse_block_for(queries_dev.shape[1]),
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
-            coarse_recall=params.coarse_recall, layout=self.scan_layout)
+            coarse_recall=params.coarse_recall, layout=self._resolve_layout())
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):
