@@ -686,15 +686,24 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
         off = (base + 997 * ctr[0]) % max(n - 1, 1) + 1
         return shape(np.ascontiguousarray(np.roll(queries, off, axis=0)))
 
+    def sync(x):
+        # block_until_ready has been observed to return BEFORE the program
+        # finishes through the dev tunnel (timed runs reporting 0.1 us/q for
+        # a 13 us/q workload); pulling a scalar reduction of the output to
+        # the host is the only reliable completion barrier. The reduction is
+        # a separate tiny launch, so it adds dispatch latency (~ms) but not
+        # a bulk transfer to the timed region.
+        float(jnp.min(x))
+
     d_, l_ = idx.search_device(shape(queries), params)  # warmup + labels
-    jax.block_until_ready(d_)
+    sync(d_)
     best = float("inf")
     for r in range(runs):
         qb = fresh()
         qb.block_until_ready()           # upload outside the timed region
         t0 = time.perf_counter()
         d2_, _ = idx.search_device(qb, params)
-        jax.block_until_ready(d2_)
+        sync(d2_)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         log(f"  single-launch run {r}: {dt*1e6/queries.shape[0]:.1f} us/q")
@@ -704,7 +713,9 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
         jax.block_until_ready(qbs)
         t0 = time.perf_counter()
         outs = [idx.search_device(qb, params) for qb in qbs]
-        jax.block_until_ready(outs)
+        # Device execution is in-order, so the last launch's completion
+        # implies all prior launches finished.
+        sync(outs[-1][0])
         dt = (time.perf_counter() - t0) / depth
         best_sus = min(best_sus, dt)
         log(f"  sustained x{depth} run {r}: "
