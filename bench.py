@@ -112,17 +112,41 @@ def device_healthy() -> bool:
 # Measured CPU baseline
 # ---------------------------------------------------------------------------
 
+def _loadavg_1m() -> float:
+    return os.getloadavg()[0]
+
+
+def _cpu_model() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return "unknown"
+
+
 def measure_cpu_baseline(idx, queries, gt):
     """Run native/cpu_baseline (single-thread C++ reference-semantics search)
     at the primary operating point; returns (us_per_query, recall_at_1).
-    Cached — the number is a property of the corpus + host, not of our code."""
+
+    Measurement discipline (round-3 fix: the round-2 cached 747.9 us/q was
+    measured while the bench's own device-wait processes competed for this
+    host's single shared vCPU — idle re-runs of the same binary/blob gave
+    390-408 us/q): the number is the MIN of >=3 runs, each run is gated on
+    1-minute loadavg <= 0.25 (waits up to 10 min for the host to go idle),
+    and the cache records {runs, loadavg, nproc, cpu_model} so the artifact
+    is auditable. Caches lacking the `runs` field are busted as contaminated."""
     from ivfhnsw_tpu.utils.recall import recall_at_k
 
     p_json = os.path.join(CACHE, "cpu_baseline.json")
     if os.path.exists(p_json):
         with open(p_json) as f:
             d = json.load(f)
-        return d["us_per_query"], d["recall_at_1"]
+        if "runs" in d:                      # clean (v3+) measurement
+            return d["us_per_query"], d["recall_at_1"]
+        log("cpu baseline cache predates load-gated protocol; re-measuring")
 
     binp = os.path.join(ROOT, "native", "build", "cpu_baseline")
     if not os.path.exists(binp):
@@ -149,20 +173,45 @@ def measure_cpu_baseline(idx, queries, gt):
         np.asarray(store.list_offsets, "<i8").tofile(f)
         np.asarray(queries, "<f4").tofile(f)
 
-    log("running measured CPU baseline (single thread) ...")
-    r = subprocess.run([binp, blob, labels_out], capture_output=True,
-                       text=True, timeout=3600)
-    if r.returncode != 0:
-        log(f"cpu_baseline failed: {r.stderr[-500:]}")
-        return None, None
-    us = float(r.stdout.strip().split("=")[1])
-    labels = np.fromfile(labels_out, "<i8").reshape(NQ, K)
+    runs = []
+    labels = None
+    for run_i in range(3):
+        waited = 0.0
+        while _loadavg_1m() > 0.25 and waited < 600:
+            log(f"  host busy (load {_loadavg_1m():.2f}); waiting for idle "
+                f"({waited:.0f}s) ...")
+            time.sleep(30)
+            waited += 30
+        load_at_start = _loadavg_1m()
+        if load_at_start > 0.25:
+            log(f"  host never went idle (load {load_at_start:.2f}); "
+                "refusing to record a contaminated baseline")
+            if runs:
+                break                      # keep whatever clean runs we have
+            os.remove(blob)
+            return None, None
+        log(f"running measured CPU baseline (single thread, "
+            f"run {run_i}, load {load_at_start:.2f}) ...")
+        r = subprocess.run([binp, blob, labels_out], capture_output=True,
+                           text=True, timeout=3600)
+        if r.returncode != 0:
+            log(f"cpu_baseline failed: {r.stderr[-500:]}")
+            os.remove(blob)
+            return None, None
+        us_i = float(r.stdout.strip().split("=")[1])
+        runs.append({"us_per_query": us_i,
+                     "loadavg_at_start": round(load_at_start, 3)})
+        log(f"  run {run_i}: {us_i:.1f} us/q")
+        labels = np.fromfile(labels_out, "<i8").reshape(NQ, K)
+    us = min(r_["us_per_query"] for r_ in runs)
     rec = recall_at_k(labels, gt, ks=(1,))[1]
     os.remove(blob)
     with open(p_json, "w") as f:
         json.dump({"us_per_query": us, "recall_at_1": float(rec),
-                   "nq": NQ}, f)
-    log(f"  cpu baseline: {us:.1f} us/query, R@1={rec:.4f}")
+                   "nq": NQ, "runs": runs, "nproc": os.cpu_count(),
+                   "cpu_model": _cpu_model()}, f)
+    log(f"  cpu baseline: {us:.1f} us/query (min of {len(runs)}), "
+        f"R@1={rec:.4f}")
     return us, float(rec)
 
 

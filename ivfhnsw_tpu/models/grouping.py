@@ -258,7 +258,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
         for off in range(0, self.nc, batch):
             blk = jnp.asarray(cents[off:off + batch])
             d_, i_ = streaming_topk_l2(blk, self.centroids, self.nsubc + 1,
-                                       block=self.coarse_block,
+                                       block=self._cb(),
                                        point_sqnorms=self.centroid_norms,
                                        precision=HIGHEST)
             d_, i_ = np.asarray(d_), np.asarray(i_)
@@ -480,7 +480,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
                 self.inter_centroid_dists, sub_sizes)
         kw = dict(nprobe=nprobe, k=params.k, nch=max(nch, 1),
                   nsubc=self.nsubc,
-                  coarse_block=min(self.coarse_block,
+                  coarse_block=min(self._cb(),
                                    _round_up(self.nc, 128)),
                   use_opq=self.do_opq, do_pruning=params.do_pruning,
                   coarse_approx=self._coarse_approx(params),
@@ -556,7 +556,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
                     jnp.int32(params.max_codes),
                     nprobe=nprobe, k=params.k, L=self._scan_budget(params),
                     nsubc=self.nsubc,
-                    coarse_block=min(self.coarse_block,
+                    coarse_block=min(self._cb(),
                                      _round_up(self.nc, 128)),
                     use_opq=self.do_opq, do_pruning=params.do_pruning,
                     trace=trace)

@@ -133,7 +133,10 @@ class IVFADCIndex:
         self.dmatch = 4444.0
         self.dnear = 8888.0
         # Coarse streaming block (centroid rows per MXU sweep step).
-        self.coarse_block = 16384
+        # None = auto (engine-chosen, batch-size aware); an explicit int is
+        # a USER CEILING honored uniformly by every engine (search + train +
+        # assign) — set it to bound the [B, block] coarse score buffer.
+        self.coarse_block = None
         # Scan engine: "auto" picks the Pallas shared-scan batch kernel on
         # TPU and the portable XLA path elsewhere. Explicit options:
         # "xla", "pallas" (per-query fused kernel), "batch" (query-blocked
@@ -167,7 +170,7 @@ class IVFADCIndex:
         an external k-means tool — README.md:56,62)."""
         from ivfhnsw_tpu.ops.kmeans import kmeans
         cents, _ = kmeans(key, train_data, self.nc, niter=niter,
-                          block_c=self.coarse_block, verbose=verbose)
+                          block_c=self._cb(), verbose=verbose)
         self.set_centroids(np.asarray(cents))
 
     def set_centroids(self, centroids) -> None:
@@ -214,13 +217,13 @@ class IVFADCIndex:
             return self._fast_assigner.assign(np.asarray(x, np.float32))
         x = np.asarray(x, np.float32)
         if batch is None:
-            block = min(self.coarse_block, self.nc)
+            block = min(self._cb(), self.nc)
             batch = max(1024, min(131072, (1 << 26) // max(block, 1)))
         out = np.empty(x.shape[0], np.int32)
         for off in range(0, x.shape[0], batch):
             blk = jnp.asarray(x[off:off + batch])
             _, idx = streaming_topk_l2(blk, self.centroids, 1,
-                                       block=self.coarse_block,
+                                       block=self._cb(),
                                        point_sqnorms=self.centroid_norms,
                                        precision=ARGMIN_PRECISION)
             out[off:off + batch] = np.asarray(idx[:, 0])
@@ -298,12 +301,12 @@ class IVFADCIndex:
     def _assign_device_exact(self, x_dev) -> np.ndarray:
         """Exact nearest-centroid assignment for device-resident x (no host
         round-trip of the vectors)."""
-        rows = max(1024, min(131072, (1 << 26) // max(self.coarse_block, 1)))
+        rows = max(1024, min(131072, (1 << 26) // max(self._cb(), 1)))
         n = int(x_dev.shape[0])
         out = np.empty(n, np.int32)
         for off in range(0, n, rows):
             _, idx = streaming_topk_l2(x_dev[off:off + rows], self.centroids,
-                                       1, block=self.coarse_block,
+                                       1, block=self._cb(),
                                        point_sqnorms=self.centroid_norms,
                                        precision=ARGMIN_PRECISION)
             out[off:off + rows] = np.asarray(idx[:, 0])
@@ -414,7 +417,7 @@ class IVFADCIndex:
             tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
             tiled.list_sizes, self._c_rank, jnp.int32(params.max_codes),
             nprobe=nprobe, k=params.k, QB=QB, U=U, nch=nch,
-            coarse_block=min(self.coarse_block, _round_up(self.nc, 128)),
+            coarse_block=min(self._cb(), _round_up(self.nc, 128)),
             use_opq=self.do_opq, interpret=interpret)
         self.stats["batch_overflow"] = (self.stats.get("batch_overflow", 0)
                                         + int(np.asarray(ov).sum()))
@@ -450,15 +453,32 @@ class IVFADCIndex:
         centroids under "auto" (measured crossover — see
         ops.distances.streaming_topk_l2)."""
         mode = getattr(params, "coarse_mode", "auto")
-        return mode == "approx" or (mode == "auto" and self.nc > 16384)
+        approx = mode == "approx" or (mode == "auto" and self.nc > 16384)
+        if approx and mode == "auto" and not getattr(
+                self, "_warned_auto_approx", False):
+            self._warned_auto_approx = True
+            import sys
+            print(f"[ivfhnsw_tpu] coarse_mode=auto selected approx_min_k "
+                  f"probe selection (nc={self.nc} > 16384); pass "
+                  f"coarse_mode='exact' for exact probe sets",
+                  file=sys.stderr)
+        return approx
+
+    def _cb(self) -> int:
+        """coarse_block default for fixed-width sweep paths (train/assign);
+        an explicit user setting always wins."""
+        return self.coarse_block if self.coarse_block else 16384
 
     def _coarse_block_for(self, B: int) -> int:
-        """Coarse sweep block size: as large as a ~256 MB [B, block] f32
-        score block allows — fewer streamed top-k merges dominate the coarse
-        cost at large nc (8 merge rounds at nc=2^17 measured 2x the cost of
-        a single full-width pass)."""
+        """Coarse sweep block size for a batch of B queries. An explicit
+        user ``coarse_block`` is a hard ceiling; in auto mode, go as large
+        as a ~64 MB [B, block] f32 score block allows — fewer streamed
+        top-k merges dominate the coarse cost at large nc (8 merge rounds
+        at nc=2^17 measured 2x the cost of a single full-width pass)."""
+        if self.coarse_block:
+            return min(_round_up(self.nc, 128), self.coarse_block)
         cap = max(4096, ((64 << 20) // max(B, 1)) // 128 * 128)
-        return min(_round_up(self.nc, 128), max(self.coarse_block, cap))
+        return min(_round_up(self.nc, 128), cap)
 
     def _pallas_args(self):
         store = self._ensure_store()
@@ -555,7 +575,7 @@ class IVFADCIndex:
                     store.codes_d, store.ids_d, store.norm_codes_d,
                     store.list_offsets_d, jnp.int32(params.max_codes),
                     nprobe=nprobe, k=params.k, L=L,
-                    coarse_block=min(self.coarse_block,
+                    coarse_block=min(self._cb(),
                                      _round_up(self.nc, 128)),
                     use_opq=self.do_opq, trace=trace)
                 if trace:
@@ -641,7 +661,7 @@ class IVFADCIndex:
         queries = jnp.asarray(queries, jnp.float32)
         nprobe = min(params.nprobe, self.nc)
         qc_dists, probes = streaming_topk_l2(
-            queries, self.centroids, nprobe, block=self.coarse_block,
+            queries, self.centroids, nprobe, block=self._cb(),
             point_sqnorms=self.centroid_norms)
         # search2m scans every probe's FULL list (no max_codes budget — the
         # reference's early-exit is commented out, IndexIVF_HNSW.cpp:528-530),

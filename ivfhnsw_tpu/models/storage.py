@@ -31,6 +31,20 @@ QCHUNK = 4 * CHUNK  # codes per quad tile (adc_scan.RCHUNK)
 QROWS = 72       # quad tile rows: 64 interleaved code rows + 4 norm + 4 pad
 
 
+def _check_f32_exact(sizes, n_tiles: int) -> None:
+    """The Pallas schedule builders pack per-list sizes and tile offsets
+    into f32 lanes (adc_scan._probe_schedule's 8-lane gather + one-hot
+    einsum); exactness requires every packed integer < 2^24. Tile counts
+    are bounded by TL_PACK/RTL_PACK already, but per-list sizes are not —
+    enforce the precondition here (once, at layout-build time) instead of
+    silently rounding a >16.7M-code posting list."""
+    max_sz = int(sizes.max()) if sizes.size else 0
+    if max_sz >= 1 << 24 or n_tiles >= 1 << 24:
+        raise ValueError(
+            f"posting-list layout exceeds f32-exact schedule range: "
+            f"max list size {max_sz}, tiles {n_tiles} (limit 2^24)")
+
+
 @dataclass
 class TiledStore:
     """Search-optimized mirror of the posting lists for the Pallas kernel:
@@ -118,6 +132,7 @@ class PostingListStore:
         np.cumsum(tcnt, out=tile_off[1:])
         nt = max(int(tile_off[-1]), 1)
         n_al = nt * CHUNK
+        _check_f32_exact(sizes, nt)
 
         codes = np.asarray(self.codes)
         ncodes = np.asarray(self.norm_codes)
@@ -170,6 +185,7 @@ class PostingListStore:
         np.cumsum(qcnt, out=qoff[1:])
         nqt = max(int(qoff[-1]), 1)
         n_al = nqt * QCHUNK
+        _check_f32_exact(sizes, nqt)
 
         codes = np.asarray(self.codes)
         ncodes = np.asarray(self.norm_codes)
@@ -224,6 +240,7 @@ class PostingListStore:
         np.cumsum(tcnt, out=tile_off[1:])
         nt = max(int(tile_off[-1]), 1)
         n_al = nt * CHUNK
+        _check_f32_exact(sizes, nt)
 
         codes = np.asarray(self.codes)
         ncodes = np.asarray(self.norm_codes)

@@ -235,20 +235,25 @@ def prefetch(iterable, depth: int = 2):
     stop = threading.Event()
     DONE = object()
 
+    def put_stoppable(item) -> bool:
+        """Stop-aware put; returns False if the consumer went away first
+        (otherwise a full queue would pin this thread + its buffers forever)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterable:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_stoppable(item):
                     return
-            q.put(DONE)
+            put_stoppable(DONE)
         except BaseException as e:  # forwarded, re-raised consumer-side
-            q.put(e)
+            put_stoppable(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

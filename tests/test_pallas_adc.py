@@ -27,13 +27,15 @@ def built():
 
 
 def both_engines(idx, queries, params, layout="quad"):
-    idx.engine = "xla"
-    d1, l1 = idx.search(queries, params)
-    idx.engine = "pallas_interpret"
-    idx.scan_layout = layout
-    d2, l2 = idx.search(queries, params)
-    idx.engine = "auto"
-    idx.scan_layout = "quad"
+    prev_engine, prev_layout = idx.engine, idx.scan_layout
+    try:
+        idx.engine = "xla"
+        d1, l1 = idx.search(queries, params)
+        idx.engine = "pallas_interpret"
+        idx.scan_layout = layout
+        d2, l2 = idx.search(queries, params)
+    finally:
+        idx.engine, idx.scan_layout = prev_engine, prev_layout
     return d1, l1, d2, l2
 
 
@@ -42,6 +44,20 @@ def assert_same(d1, l1, d2, l2):
     mism = l1 != l2
     if mism.any():  # exact-tie label swaps allowed
         assert np.allclose(d1[mism], d2[mism], rtol=1e-4, atol=1e-3)
+
+
+def test_auto_layout_resolution(built):
+    """_resolve_layout's 768-codes/list crossover, end-to-end: the fixture's
+    ~140-code average lists must resolve 'auto' -> 'chunk', and a fat-list
+    store must resolve 'quad'."""
+    idx, _ = built
+    assert idx.scan_layout == "auto"
+    assert idx._resolve_layout() == "chunk"   # 9000/64 ≈ 140 codes/list
+    try:
+        idx.scan_layout = "quad"
+        assert idx._resolve_layout() == "quad"  # explicit setting wins
+    finally:
+        idx.scan_layout = "auto"
 
 
 def test_pallas_matches_xla_unlimited(built):
