@@ -636,36 +636,32 @@ class IVFADCGroupingIndex(IVFADCIndex):
 
     def write(self, path: str, do_trunc: bool = True) -> None:
         store = self._ensure_store()
-        off = np.asarray(store.list_offsets)
-        ids = np.asarray(store.ids, "<u4")
-        codes = np.asarray(store.codes)
-        ncodes = np.asarray(store.norm_codes)
+        off = np.asarray(store.list_offsets).astype(np.int64)
         sub_sizes = (off[1:] - off[:-1]).reshape(self.nc, self.nsubc)
-        group_lo = off[:-1].reshape(self.nc, self.nsubc)[:, 0]
-        group_hi = np.concatenate([group_lo[1:], [off[-1]]])
+        gsizes = sub_sizes.sum(axis=1)
+        # Subgroups are contiguous within each group in the flat store, so
+        # the per-GROUP concatenated payloads the format wants
+        # (IndexIVF_HNSW_Grouping.cpp:397-446) are just the flat arrays
+        # re-counted by group — each ragged section is one native
+        # interleave pass, and the fixed-width sections (nn idxs,
+        # subgroup_sizes, inter-centroid dists) are single 2-D reshapes.
         with open(path, "wb" if do_trunc else "ab") as f:
             io.write_variable(f, self.d, "<u8")
             io.write_variable(f, self.nc, "<u8")
             io.write_variable(f, self.nsubc, "<u8")
-            for c in range(self.nc):
-                io.write_len_vector(f, ids[group_lo[c]:group_hi[c]])
-            for c in range(self.nc):
-                io.write_len_vector(f, codes[group_lo[c]:group_hi[c]])
-            for c in range(self.nc):
-                io.write_len_vector(f, ncodes[group_lo[c]:group_hi[c]])
-            nn = np.asarray(self.nn_centroid_idxs, "<u4")
-            for c in range(self.nc):
-                io.write_len_vector(f, nn[c])
-            for c in range(self.nc):
-                io.write_len_vector(f, sub_sizes[c].astype("<u4"))
+            io.write_len_series(f, np.asarray(store.ids, "<u4"), gsizes)
+            io.write_len_series(f, np.asarray(store.codes),
+                                gsizes * self.code_size)
+            io.write_len_series(f, np.asarray(store.norm_codes), gsizes)
+            io.write_len_rows(f, np.asarray(self.nn_centroid_idxs, "<u4"))
+            io.write_len_rows(f, sub_sizes.astype("<u4"))
             io.write_len_vector(f, np.asarray(self.alphas, "<f4"))
             io.write_len_vector(f, np.asarray(self.centroid_norms, "<f4"))
-            icd = np.asarray(self.inter_centroid_dists, "<f4")
-            for c in range(self.nc):
-                io.write_len_vector(f, icd[c])
+            io.write_len_rows(f, np.asarray(self.inter_centroid_dists,
+                                            "<f4"))
 
     def read(self, path: str) -> None:
-        buf = np.fromfile(path, dtype=np.uint8)
+        buf = io.read_file_u8(path)
         pos = 0
 
         def take(dtype, count):
@@ -684,29 +680,40 @@ class IVFADCGroupingIndex(IVFADCIndex):
         nsubc = int(take("<u8", 1)[0])
         if (d, nc, nsubc) != (self.d, self.nc, self.nsubc):
             raise ValueError("grouping index file params mismatch")
-        ids = [take_lenvec("<u4").astype(np.int32) for _ in range(nc)]
-        codes = [take_lenvec("u1").reshape(-1, self.config.pq_m)
-                 for _ in range(nc)]
-        ncodes = [take_lenvec("u1") for _ in range(nc)]
-        nn = np.stack([take_lenvec("<u4").astype(np.int32)
-                       for _ in range(nc)])
-        sub_sizes = np.stack([take_lenvec("<u4").astype(np.int64)
-                              for _ in range(nc)])
+        from ivfhnsw_tpu.utils import native
+        from ivfhnsw_tpu.models.storage import PostingListStore
+        if native.available():
+            # Ragged sections in one native pass each; group-concatenated
+            # payload order IS the flat store order (subgroups contiguous
+            # within groups), so no per-list splitting is needed — the
+            # nc*nsubc list_offsets come from the subgroup_sizes cumsum.
+            ids_flat, _, pos = native.lenvec_series(buf, pos, nc, "<u4")
+            codes_flat, _, pos = native.lenvec_series(buf, pos, nc, "u1")
+            nrm_flat, _, pos = native.lenvec_series(buf, pos, nc, "u1")
+        else:
+            ids_l = [take_lenvec("<u4") for _ in range(nc)]
+            codes_l = [take_lenvec("u1") for _ in range(nc)]
+            nrm_l = [take_lenvec("u1") for _ in range(nc)]
+            ids_flat = np.concatenate(ids_l) if ids_l else np.empty(0, "<u4")
+            codes_flat = (np.concatenate(codes_l) if codes_l
+                          else np.empty(0, "u1"))
+            nrm_flat = (np.concatenate(nrm_l) if nrm_l
+                        else np.empty(0, "u1"))
+        nn, pos = io.read_len_rows(buf, pos, nc, nsubc, "<u4")
+        sub_sizes, pos = io.read_len_rows(buf, pos, nc, nsubc, "<u4")
         self.alphas = jnp.asarray(take_lenvec("<f4").copy())
         cnorms = take_lenvec("<f4")
         if cnorms.size == nc:
             self.centroid_norms = jnp.asarray(cnorms.copy())
-        icd = np.stack([take_lenvec("<f4") for _ in range(nc)])
-        self.nn_centroid_idxs = jnp.asarray(nn)
+        icd, pos = io.read_len_rows(buf, pos, nc, nsubc, "<f4")
+        self.nn_centroid_idxs = jnp.asarray(nn.astype(np.int32))
         self.inter_centroid_dists = jnp.asarray(icd)
-        # Split each centroid's concatenated arrays back into subgroups.
-        per_list = []
-        for c in range(nc):
-            lo = 0
-            for s in range(nsubc):
-                sz = int(sub_sizes[c, s])
-                per_list.append((ids[c][lo:lo + sz], codes[c][lo:lo + sz],
-                                 ncodes[c][lo:lo + sz]))
-                lo += sz
-        self.store = store_from_lists(nc * nsubc, self.config.pq_m, per_list)
+        offsets = np.zeros(nc * nsubc + 1, np.int64)
+        np.cumsum(sub_sizes.astype(np.int64).reshape(-1), out=offsets[1:])
+        self.store = PostingListStore(
+            codes=codes_flat.reshape(-1, self.config.pq_m),
+            ids=ids_flat.astype(np.int32),
+            norm_codes=nrm_flat,
+            list_offsets=offsets.astype(np.int32),
+            nc=nc * nsubc)
         self.builder = PostingListBuilder(nc * nsubc, self.config.pq_m)

@@ -709,19 +709,18 @@ class IVFADCIndex:
 
     def write(self, path: str, do_trunc: bool = True) -> None:
         store = self._ensure_store()
-        off = np.asarray(store.list_offsets)
-        ids = np.asarray(store.ids, "<u4")
-        codes = np.asarray(store.codes)
-        ncodes = np.asarray(store.norm_codes)
+        off = np.asarray(store.list_offsets).astype(np.int64)
+        sizes = off[1:] - off[:-1]
+        # Flat payloads are already in centroid-sorted order, so each
+        # section serializes as ONE native interleave pass instead of nc
+        # write_len_vector calls (write, IndexIVF_HNSW.cpp:637-669).
         with open(path, "wb" if do_trunc else "ab") as f:
             io.write_variable(f, self.d, "<u8")
             io.write_variable(f, self.nc, "<u8")
-            for c in range(self.nc):
-                io.write_len_vector(f, ids[off[c]:off[c + 1]])
-            for c in range(self.nc):
-                io.write_len_vector(f, codes[off[c]:off[c + 1]])
-            for c in range(self.nc):
-                io.write_len_vector(f, ncodes[off[c]:off[c + 1]])
+            io.write_len_series(f, np.asarray(store.ids, "<u4"), sizes)
+            io.write_len_series(f, np.asarray(store.codes),
+                                sizes * self.code_size)
+            io.write_len_series(f, np.asarray(store.norm_codes), sizes)
             io.write_len_vector(f, np.asarray(self.centroid_norms, "<f4"))
 
     def read(self, path: str) -> None:
@@ -730,7 +729,7 @@ class IVFADCIndex:
         series parser when built — the flat payloads are already in
         centroid-sorted order, so the store is assembled without any
         per-list Python loop."""
-        buf = np.fromfile(path, dtype=np.uint8)
+        buf = io.read_file_u8(path)
         pos = 0
 
         def take(dtype, count):

@@ -49,6 +49,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
+            lib.lenvec_interleave.restype = ctypes.c_int64
+            lib.lenvec_interleave.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
             _lib = lib
         except Exception:
             _lib = None
@@ -77,6 +82,38 @@ def xvec_read_f32(path: str, d: int, n: int, offset: int = 0,
     if got != n:
         return None
     return out
+
+
+def lenvec_interleave(payload: np.ndarray, counts: np.ndarray,
+                      esize: int,
+                      out: np.ndarray | None = None) -> np.ndarray | None:
+    """Serialize a length-prefixed vector series in one native pass:
+    flat payload bytes + per-record element counts -> the on-disk
+    [u32 count | count*esize]* byte stream. None if native lib unavailable
+    (caller falls back to a per-record Python loop).
+
+    Pass ``out`` (a u8 scratch of >= 4*len(counts) + payload bytes) to
+    reuse a buffer across calls — on this VM class, first-touch page
+    faults on fresh multi-GB allocations cost ~10 s/GB, so streaming
+    through one persistent slab is the difference between O(file) and
+    O(slab) fault cost. Returns a view of out sized to the bytes written."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload).view(np.uint8).reshape(-1)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    need = 4 * counts.size + payload.size
+    if out is None:
+        out = np.empty(need, np.uint8)
+    elif out.size < need:
+        raise ValueError(f"interleave scratch too small: {out.size} < {need}")
+    rc = lib.lenvec_interleave(
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), payload.size,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), counts.size,
+        esize, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != need:
+        raise ValueError("lenvec_interleave: counts/payload mismatch")
+    return out[:need]
 
 
 def lenvec_series(buf: np.ndarray, pos: int, n: int, dtype) -> tuple | None:

@@ -110,4 +110,26 @@ int64_t lenvec_total(const uint8_t* buf, int64_t buf_len, int64_t pos,
     return total;
 }
 
+// Inverse of lenvec_concat: interleave a flat payload (records concatenated
+// in order) with u32 element-count prefixes, producing the serialized
+// [u32 count | count*esize]* series in one pass. out must have capacity
+// 4*n + payload_len bytes. Returns bytes written, or -1 if the counts sum
+// to more than payload_len or any count exceeds u32 range.
+int64_t lenvec_interleave(const uint8_t* payload, int64_t payload_len,
+                          const int64_t* counts, int64_t n, int64_t esize,
+                          uint8_t* out) {
+    int64_t src = 0, dst = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (counts[i] < 0 || counts[i] > 0xffffffffLL) return -1;
+        const uint32_t count = (uint32_t)counts[i];
+        const int64_t bytes = (int64_t)count * esize;
+        if (src + bytes > payload_len) return -1;
+        memcpy(out + dst, &count, 4);
+        memcpy(out + dst + 4, payload + src, (size_t)bytes);
+        src += bytes;
+        dst += 4 + bytes;
+    }
+    return dst;
+}
+
 }  // extern "C"

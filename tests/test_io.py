@@ -139,3 +139,46 @@ def test_file_dataset_total_base_counts_without_decode(tmp_path, rng):
     assert ds.total_base == 37
     batches = list(ds.base_batches(batch=10))
     assert sum(b.shape[0] for _, b in batches) == 37
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_write_len_series_matches_per_record_loop(tmp_path, rng,
+                                                 force_fallback,
+                                                 monkeypatch):
+    """write_len_series (one interleave pass over a flat payload) must emit
+    bytes identical to nc write_len_vector calls, for ragged u4 and u8
+    payloads — native path and Python fallback."""
+    from ivfhnsw_tpu.utils import native
+
+    if force_fallback:
+        monkeypatch.setattr(native, "available", lambda: False)
+    counts = np.asarray([3, 0, 5, 1, 2], np.int64)
+    ids = (rng.rand(int(counts.sum())) * 1e6).astype("<u4")
+    codes = (rng.rand(int(counts.sum()), 4) * 255).astype(np.uint8)
+
+    p1, p2 = str(tmp_path / "series.bin"), str(tmp_path / "loop.bin")
+    with open(p1, "wb") as f:
+        io.write_len_series(f, ids, counts)
+        io.write_len_series(f, codes, counts * 4)
+    with open(p2, "wb") as f:
+        pos = 0
+        for c in counts:
+            io.write_len_vector(f, ids[pos:pos + c])
+            pos += c
+        pos = 0
+        for c in counts:
+            io.write_len_vector(f, codes[pos:pos + c])
+            pos += c
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_write_read_len_rows_roundtrip(tmp_path, rng):
+    rows = (rng.rand(7, 5) * 1e5).astype("<f4")
+    p = str(tmp_path / "rows.bin")
+    with open(p, "wb") as f:
+        io.write_len_rows(f, rows)
+        io.write_len_vector(f, np.asarray([1.5], "<f4"))   # trailing data
+    buf = np.fromfile(p, np.uint8)
+    got, pos = io.read_len_rows(buf, 0, 7, 5, "<f4")
+    np.testing.assert_array_equal(got, rows)
+    assert int(buf[pos:pos + 4].view("<u4")[0]) == 1
