@@ -150,6 +150,13 @@ class IVFADCIndex:
         # 39% at ~150-code lists (scale stage), where every probed list
         # pads a whole 1024-lane slot.
         self.scan_layout = "auto"
+        # Pallas top-k strategy: "wide" stores every scanned lane and top-ks
+        # the masked [B, nch*gran] array; "twophase" reduces each scan unit
+        # to its masked minimum in-kernel, top-ks unit minima, and exactly
+        # rescans the k best units (see ops.pallas.adc_scan two-phase
+        # section). "auto" picks twophase when the wide masked output would
+        # exceed ~32k lanes/query (where its store+top-k cost dominates).
+        self.scan_topk = "auto"
         # Batch-engine knobs: queries per block, union-list capacity and
         # chunk capacity per block (None = heuristic; overflow is counted in
         # stats["batch_overflow"] — raise batch_u if it fires).
@@ -423,6 +430,12 @@ class IVFADCIndex:
                                         + int(np.asarray(ov).sum()))
         return d[:B], l[:B]
 
+    def _resolve_two_phase(self, params: SearchParams, nprobe: int) -> bool:
+        if self.scan_topk != "auto":
+            return self.scan_topk == "twophase"
+        gran = 1024 if self._resolve_layout() == "quad" else 256
+        return self._pallas_nch(params, nprobe) * gran > 32768
+
     def _resolve_layout(self) -> str:
         """Pick the Pallas tile layout. "auto": quad when the average
         posting list fills most of a 1024-code quad slot (the per-probe
@@ -502,7 +515,8 @@ class IVFADCIndex:
             coarse_block=self._coarse_block_for(len(blk)),
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
-            coarse_recall=params.coarse_recall, layout=self._resolve_layout())
+            coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
+            two_phase=self._resolve_two_phase(params, nprobe))
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
@@ -628,7 +642,8 @@ class IVFADCIndex:
             coarse_block=self._coarse_block_for(queries_dev.shape[1]),
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
-            coarse_recall=params.coarse_recall, layout=self._resolve_layout())
+            coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
+            two_phase=self._resolve_two_phase(params, nprobe))
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):

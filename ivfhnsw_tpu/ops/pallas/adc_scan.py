@@ -479,11 +479,321 @@ def adc_search_quad(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
     return best, labels
 
 
+# ---------------------------------------------------------------------------
+# Two-phase (min-reduce) top-k engine
+#
+# The wide engines above store EVERY scanned lane ([B, nch*CHUNK] f32), then
+# mask+bias+top-k outside the kernel. At canonical geometry (scale2: ~320
+# quad slots/query) that is ~1.3 MB of f32 per query stored, re-read, and
+# pushed through a 327k-lane lax.top_k — it dominates end-to-end latency.
+#
+# Phase 1 here reduces each scan unit (chunk or quad) to its masked MINIMUM
+# inside the kernel (the term1+norm bias is constant within a unit, so
+# min(bias + x) = bias + min(x) and the bias still applies outside on the
+# [B, n_units] minima). Phase 2 selects the k smallest-minimum units and
+# rescans ONLY those k units' full lanes with the wide kernel, then top-ks
+# k*unit lanes.
+#
+# Exactness: let S be the set of units containing at least one of the true
+# top-k lanes (|S| <= k). If some u in S were NOT among the k units with
+# smallest minima, then k units would each hold a lane strictly smaller
+# than min(u) <= (u's top-k lane) — i.e. that lane has >= k strictly
+# smaller lanes, contradicting its top-k membership. Equal-distance ties at
+# the k-th boundary may swap labels, matching the wide engine's existing
+# tie semantics. Selection over per-UNIT minima returns k DISTINCT units,
+# so phase 2 never double-counts a lane.
+# ---------------------------------------------------------------------------
+
+SPB_C = 64    # chunk-min kernel: grid steps per out block (512-lane blocks)
+SPB_Q = 128   # quad-min kernel: grid steps per out block (256-lane blocks)
+
+
+def _adc_kernel_min(tl_smem, luts_ref, tiles_hbm, out_ref, rows, scratch,
+                    sems):
+    """Chunk-layout phase-1 kernel: same DEPTH-slot DMA pipeline as
+    :func:`_adc_kernel`, but each step reduces its CPS chunks to CPS masked
+    minima and stores CPS lanes (vs CPS*CHUNK) — output traffic drops 256x
+    and the downstream top-k runs over n_units instead of n_units*256."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    nch = nsteps * CPS
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(tiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    def start_for(gg):
+        bb = gg // nch
+        cc = jax.lax.rem(gg, nch)
+        tl = tl_smem[bb, cc]
+
+        @pl.when(jax.lax.rem(tl, TL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(gg, DEPTH), tl // TL_PACK).start()
+
+    g0 = b * nch + j * CPS
+
+    @pl.when(g0 == 0)
+    def _():
+        for w in range(DEPTH - CPS):
+            @pl.when(w < nb * nch)
+            def _():
+                start_for(jnp.int32(w))
+
+    for i in range(CPS):
+        @pl.when(g0 + DEPTH - CPS + i < nb * nch)
+        def _():
+            start_for(g0 + DEPTH - CPS + i)
+
+    lut = luts_ref[0]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+    def half(idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(lut0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(lut1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    for i in range(CPS):
+        c = j * CPS + i
+        g = g0 + i
+        tl = tl_smem[b, c]
+        ln = jax.lax.rem(tl, TL_PACK)
+
+        @pl.when(ln > 0)
+        def _():
+            dma(jax.lax.rem(g, DEPTH), tl // TL_PACK).wait()
+            idx = scratch[jax.lax.rem(g, DEPTH)].astype(jnp.int32)
+            gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
+                                 axis=1)
+            s = jnp.sum(gg, axis=0, keepdims=True)             # [1, 256]
+            rows[i:i + 1, :] = jnp.where(lane < ln, s, jnp.inf)
+
+        @pl.when(ln == 0)
+        def _():
+            rows[i:i + 1, :] = jnp.full((1, CHUNK), jnp.inf)
+
+    minima = jnp.min(rows[:, :], axis=1)                       # [CPS]
+    out_ref[0:1, pl.ds(jax.lax.rem(j, SPB_C) * CPS, CPS)] = (
+        minima.reshape(1, CPS))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def adc_scan_tiles_min(luts_ext, chunk_tile, chunk_len, tiles,
+                       interpret: bool = False):
+    """Phase-1 chunk scan: per-chunk masked minima [B, nch] (raw — caller
+    adds chunk_bias and masks padding slots)."""
+    B, nch = chunk_tile.shape
+    blk_ch = SPB_C * CPS
+    if nch % blk_ch:
+        pad = blk_ch - nch % blk_ch
+        chunk_tile = jnp.pad(chunk_tile, ((0, 0), (0, pad)))
+        chunk_len = jnp.pad(chunk_len, ((0, 0), (0, pad)))
+    nch_p = chunk_tile.shape[1]
+    tl = chunk_tile * TL_PACK + chunk_len
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nch_p // CPS),
+        in_specs=[
+            pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, blk_ch), lambda b, j, *_: (b, j // SPB_C),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((CPS, CHUNK), jnp.float32),
+            pltpu.VMEM((DEPTH, LUT_ROWS, CHUNK), jnp.uint8),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _adc_kernel_min,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nch_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(tl, luts_ext, tiles)
+    return out[:, :nch]
+
+
+def _adc_kernel_quad_min(qtl_smem, luts_ref, qtiles_hbm, out_ref, rows,
+                         scratch, sems):
+    """Quad-layout phase-1 kernel: per-QUAD masked minima (CPSQ lanes per
+    step instead of CPSQ*4*256)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    nq = nsteps * CPSQ
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(qtiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    def start_for(gg):
+        bb = gg // nq
+        cc = jax.lax.rem(gg, nq)
+        tl = qtl_smem[bb, cc]
+
+        @pl.when(jax.lax.rem(tl, RTL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(gg, DEPTH_Q), tl // RTL_PACK).start()
+
+    g0 = b * nq + j * CPSQ
+
+    @pl.when(g0 == 0)
+    def _():
+        for w in range(DEPTH_Q - CPSQ):
+            @pl.when(w < nb * nq)
+            def _():
+                start_for(jnp.int32(w))
+
+    for i in range(CPSQ):
+        @pl.when(g0 + DEPTH_Q - CPSQ + i < nb * nq)
+        def _():
+            start_for(g0 + DEPTH_Q - CPSQ + i)
+
+    for i in range(CPSQ):
+        g = g0 + i
+        tl = qtl_smem[b, j * CPSQ + i]
+
+        @pl.when(jax.lax.rem(tl, RTL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(g, DEPTH_Q), tl // RTL_PACK).wait()
+
+    lut = luts_ref[0]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+    def half(idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(lut0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(lut1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
+
+    # Code position of chunk-row r, lane l within the quad is r*256 + l.
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (4, CHUNK), 0) * CHUNK
+           + jax.lax.broadcasted_iota(jnp.int32, (4, CHUNK), 1))
+    for i in range(CPSQ):
+        g = g0 + i
+        tl = qtl_smem[b, j * CPSQ + i]
+        ln = jax.lax.rem(tl, RTL_PACK)
+
+        @pl.when(ln > 0)
+        def _():
+            idx = scratch[jax.lax.rem(g, DEPTH_Q)].astype(jnp.int32)
+            gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
+                                 axis=1)                       # [72, 256]
+            sums4 = jnp.sum(gg.reshape(18, 4, 256), axis=0)    # [4, 256]
+            rows[i * 4:(i + 1) * 4, :] = jnp.where(pos < ln, sums4, jnp.inf)
+
+        @pl.when(ln == 0)
+        def _():
+            rows[i * 4:(i + 1) * 4, :] = jnp.full((4, CHUNK), jnp.inf)
+
+    minima = jnp.min(rows[:, :], axis=1)                       # [CPSQ*4]
+    qmin = jnp.min(minima.reshape(CPSQ, 4), axis=1)            # [CPSQ]
+    out_ref[0:1, pl.ds(jax.lax.rem(j, SPB_Q) * CPSQ, CPSQ)] = (
+        qmin.reshape(1, CPSQ))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def adc_scan_quad_min(luts_quad, qtile, qlen, qtiles,
+                      interpret: bool = False):
+    """Phase-1 quad scan: per-quad masked minima [B, nquad] (raw)."""
+    B, nquad = qtile.shape
+    blk_q = SPB_Q * CPSQ
+    if nquad % blk_q:
+        pad = blk_q - nquad % blk_q
+        qtile = jnp.pad(qtile, ((0, 0), (0, pad)))
+        qlen = jnp.pad(qlen, ((0, 0), (0, pad)))
+    nq_p = qtile.shape[1]
+    qtl = qtile * RTL_PACK + qlen
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nq_p // CPSQ),
+        in_specs=[
+            pl.BlockSpec((1, QROWS, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q), lambda b, j, *_: (b, j // SPB_Q),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((CPSQ * 4, CHUNK), jnp.float32),
+            pltpu.VMEM((DEPTH_Q, QROWS, CHUNK), jnp.uint8),
+            pltpu.SemaphoreType.DMA((DEPTH_Q,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _adc_kernel_quad_min,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nq_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qtl, luts_quad, qtiles)
+    return out[:, :nquad]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def adc_search_tiles_2p(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
+                        ids_aligned, k: int, interpret: bool = False):
+    """Two-phase chunk search: minima -> top-k chunks -> rescan k chunks."""
+    B, nch = chunk_tile.shape
+    mins = adc_scan_tiles_min(luts_ext, chunk_tile, chunk_len, tiles,
+                              interpret=interpret)
+    biased = jnp.where(chunk_len > 0, mins + chunk_bias, jnp.inf)
+    ksel = min(k, nch)
+    _, csel = topk_smallest(biased, ksel)                      # [B, ksel]
+    st = jnp.take_along_axis(chunk_tile, csel, axis=1)
+    sl = jnp.take_along_axis(chunk_len, csel, axis=1)
+    sb = jnp.take_along_axis(chunk_bias, csel, axis=1)
+    dists = adc_scan_tiles(luts_ext, st, sl, sb, tiles,
+                           interpret=interpret)                # [B, ksel*256]
+    best, sel2 = topk_smallest(dists, k)
+    tile_sel = jnp.take_along_axis(st, sel2 // CHUNK, axis=1)
+    labels = ids_aligned[tile_sel * CHUNK + sel2 % CHUNK]
+    labels = jnp.where(jnp.isfinite(best), labels, -1)
+    return best, labels
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def adc_search_quad_2p(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
+                       k: int, interpret: bool = False):
+    """Two-phase quad search: per-quad minima -> top-k quads -> rescan."""
+    B, nquad = qtile.shape
+    luts_quad = build_luts_quad(luts_ext)
+    mins = adc_scan_quad_min(luts_quad, qtile, qlen, qtiles,
+                             interpret=interpret)
+    biased = jnp.where(qlen > 0, mins + qbias, jnp.inf)
+    ksel = min(k, nquad)
+    _, qsel = topk_smallest(biased, ksel)
+    st = jnp.take_along_axis(qtile, qsel, axis=1)
+    sl = jnp.take_along_axis(qlen, qsel, axis=1)
+    sb = jnp.take_along_axis(qbias, qsel, axis=1)
+    dists = adc_scan_quad(luts_quad, st, sl, sb, qtiles,
+                          interpret=interpret)                 # [B, ksel*1024]
+    best, sel2 = topk_smallest(dists, k)
+    qtile_sel = jnp.take_along_axis(st, sel2 // RCHUNK, axis=1)
+    labels = ids_aligned[qtile_sel * RCHUNK + sel2 % RCHUNK]
+    labels = jnp.where(jnp.isfinite(best), labels, -1)
+    return best, labels
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
                      "interpret", "precision", "coarse_approx",
-                     "coarse_recall", "layout"))
+                     "coarse_recall", "layout", "two_phase"))
 def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
@@ -492,7 +802,8 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        precision=jax.lax.Precision.HIGHEST,
                        coarse_approx: bool = False,
                        coarse_recall: float = 0.95,
-                       layout: str = "chunk"):
+                       layout: str = "chunk",
+                       two_phase: bool = False):
     """Whole-query-set search in ONE launch: queries [G, B, d] are processed
     by lax.map over G sub-batches of the fused core. Remote-tunnel dispatch
     costs ~ms per launch, so one mega-launch at 8k+ queries is worth
@@ -504,7 +815,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
             nprobe=nprobe, k=k, nch=nch, coarse_block=coarse_block,
             use_opq=use_opq, interpret=interpret, precision=precision,
             coarse_approx=coarse_approx, coarse_recall=coarse_recall,
-            layout=layout)
+            layout=layout, two_phase=two_phase)
 
     return jax.lax.map(one, queries)
 
@@ -513,7 +824,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
                      "interpret", "precision", "coarse_approx",
-                     "coarse_recall", "layout"))
+                     "coarse_recall", "layout", "two_phase"))
 def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
@@ -522,7 +833,8 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        precision=jax.lax.Precision.HIGHEST,
                        coarse_approx: bool = False,
                        coarse_recall: float = 0.95,
-                       layout: str = "chunk"):
+                       layout: str = "chunk",
+                       two_phase: bool = False):
     """End-to-end IVFADC search step on the Pallas engine, fused into ONE
     XLA program (per-op dispatch through the remote-TPU tunnel costs ~ms, so
     the whole coarse -> LUT -> schedule -> scan -> top-k chain must be a
@@ -542,9 +854,15 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     if layout == "quad":
         qt, ql, qb = quad_metadata(probes, qc_dists, centroid_norms,
                                    tile_offsets, list_sizes, max_codes, nch)
+        if two_phase:
+            return adc_search_quad_2p(luts_ext, qt, ql, qb, tiles,
+                                      ids_aligned, k, interpret=interpret)
         return adc_search_quad(luts_ext, qt, ql, qb, tiles, ids_aligned, k,
                                interpret=interpret)
     ct, cl, cb = chunk_metadata(probes, qc_dists, centroid_norms,
                                 tile_offsets, list_sizes, max_codes, nch)
+    if two_phase:
+        return adc_search_tiles_2p(luts_ext, ct, cl, cb, tiles, ids_aligned,
+                                   k, interpret=interpret)
     return adc_search_tiles(luts_ext, ct, cl, cb, tiles, ids_aligned, k,
                             interpret=interpret)

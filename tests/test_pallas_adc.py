@@ -168,3 +168,42 @@ def test_search_device_matches_host(built):
     dd = np.asarray(dd).reshape(16, -1)
     ll = np.asarray(ll).reshape(16, -1)
     assert_same(d1[:16], l1[:16], dd, ll)
+
+
+@pytest.mark.parametrize("layout", ["chunk", "quad"])
+@pytest.mark.parametrize("mc", [0, 300])
+def test_two_phase_matches_wide(built, layout, mc):
+    """The two-phase (min-reduce + exact k-unit rescan) engine must return
+    the same distances as the wide engine (exact-tie label swaps allowed)."""
+    idx, queries = built
+    params = SearchParams(k=10, nprobe=12, max_codes=mc)
+    prev = idx.engine, idx.scan_layout, idx.scan_topk
+    try:
+        idx.engine = "pallas_interpret"
+        idx.scan_layout = layout
+        idx.scan_topk = "wide"
+        d1, l1 = idx.search(queries, params)
+        idx.scan_topk = "twophase"
+        d2, l2 = idx.search(queries, params)
+    finally:
+        idx.engine, idx.scan_layout, idx.scan_topk = prev
+    assert_same(d1, l1, d2, l2)
+
+
+def test_two_phase_small_k_edge(built):
+    """k=1 and k larger than the per-query unit count both stay exact."""
+    idx, queries = built
+    prev = idx.engine, idx.scan_layout, idx.scan_topk
+    try:
+        idx.engine = "pallas_interpret"
+        idx.scan_layout = "chunk"
+        idx.scan_topk = "twophase"
+        for k in (1, 64):
+            p = SearchParams(k=k, nprobe=4, max_codes=0)
+            d2, l2 = idx.search(queries, p)
+            idx.engine = "xla"
+            d1, l1 = idx.search(queries, p)
+            idx.engine = "pallas_interpret"
+            assert_same(d1, l1, d2, l2)
+    finally:
+        idx.engine, idx.scan_layout, idx.scan_topk = prev
