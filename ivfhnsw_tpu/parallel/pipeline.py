@@ -148,21 +148,84 @@ class StreamedIndexBuild:
     def finalize(self):
         """Assemble the committed spill into the index's store (same sorted
         flat layout the PostingListBuilder produces)."""
-        from ivfhnsw_tpu.models.storage import PostingListBuilder
-
         self.close()
+        return _assemble(self.index, [self.workdir], self.M,
+                         expected=self.processed)
 
-        def rd(name, dtype):
-            return np.fromfile(os.path.join(self.workdir, name), dtype)
 
-        keys = rd("keys.i32", "<i4")
-        ids = rd("ids.i32", "<i4")
-        codes = rd("codes.u8", "u1").reshape(-1, self.M)
-        ncodes = rd("norm_codes.u8", "u1")
-        if not (keys.shape[0] == ids.shape[0] == codes.shape[0]
-                == ncodes.shape[0] == self.processed):
-            raise ValueError("spill files inconsistent with cursor")
-        b = PostingListBuilder(self.index.nc, self.M)
-        b.add(keys, ids, codes, ncodes)
-        self.index.store = b.finalize()
-        return self.index
+# ---------------------------------------------------------------------------
+# Multi-host build: per-host spill directories + deterministic merge
+# ---------------------------------------------------------------------------
+
+def host_slice(total: int, num_hosts: int, host: int) -> tuple[int, int]:
+    """Contiguous input range owned by ``host``: bit-identical merges need
+    a deterministic global stream order, and contiguous ranges make
+    "concatenate host spills in host order" reproduce exactly the order a
+    single-host build would have streamed (PostingListBuilder's stable
+    sort then preserves it within each list). The reference's analog is
+    its segment-file naming convention (utils.cpp:273-275)."""
+    per = -(-total // num_hosts)
+    lo = min(host * per, total)
+    return lo, min(lo + per, total)
+
+
+def _assemble(index, workdirs, M: int, expected: int | None = None):
+    from ivfhnsw_tpu.models.storage import PostingListBuilder
+
+    parts = {name: [] for name in SPILLS}
+    total = 0
+    for wd in workdirs:
+        cur = os.path.join(wd, CURSOR)
+        with open(cur) as f:
+            state = json.load(f)
+        total += state["processed"]
+        for name in SPILLS:
+            p = os.path.join(wd, name)
+            data = np.fromfile(p, np.uint8)[:state["sizes"][name]]
+            parts[name].append(data)
+
+    def cat(name, dtype):
+        return np.concatenate(parts[name]).view(dtype)
+
+    keys = cat("keys.i32", "<i4")
+    ids = cat("ids.i32", "<i4")
+    codes = cat("codes.u8", "u1").reshape(-1, M)
+    ncodes = cat("norm_codes.u8", "u1")
+    if expected is not None and total != expected:
+        raise ValueError(f"spills hold {total} vectors, expected {expected}")
+    if not (keys.shape[0] == ids.shape[0] == codes.shape[0]
+            == ncodes.shape[0] == total):
+        raise ValueError("spill files inconsistent with cursors")
+    b = PostingListBuilder(index.nc, M)
+    b.add(keys, ids, codes, ncodes)
+    index.store = b.finalize()
+    return index
+
+
+def merge_host_spills(index, workdirs: list[str]):
+    """Merge per-host spill directories (each produced by a
+    ``StreamedIndexBuild`` over that host's :func:`host_slice` of the input)
+    into one finalized index. Deterministic: spills are concatenated in the
+    given host order, so the result is bit-identical to a single-host build
+    that streamed the same vectors in the same global order — however many
+    times any host's build crashed and resumed. Run on any one host after
+    all cursors report their slice complete (SURVEY.md §7 layer 6:
+    multi-host build pipeline)."""
+    return _assemble(index, workdirs, index.config.pq_m)
+
+
+def initialize_distributed() -> bool:
+    """Initialize jax.distributed from standard env vars when present
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID). Returns
+    True if multi-process JAX was initialized. On a single-host dev box
+    (or when the vars are absent) this is a no-op returning False — the
+    build then runs single-process over the local mesh."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if not (addr and nproc and pid):
+        return False
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=int(nproc),
+                               process_id=int(pid))
+    return True

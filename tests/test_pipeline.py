@@ -101,3 +101,83 @@ def test_pipeline_search_end_to_end(trained, tmp_path):
     index = s.finalize()
     d, l = index.search_enn(base[:64])
     assert (l == np.arange(64)).mean() > 0.9
+
+
+_HOST_WORKER = r"""
+import os, sys, json
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+from ivfhnsw_tpu.parallel import make_mesh
+from ivfhnsw_tpu.parallel.pipeline import (StreamedIndexBuild, host_slice)
+
+root, host, num_hosts = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+base = np.load(os.path.join(root, "base.npy"))
+cfg = IndexConfig(d=base.shape[1], nc=64, code_size=8)
+idx = IVFADCIndex(cfg)
+idx.set_centroids(np.load(os.path.join(root, "centroids.npy")))
+idx.load_quantizers(os.path.join(root, "t.pq"), os.path.join(root, "t.npq"))
+lo, hi = host_slice(base.shape[0], num_hosts, host)
+mesh = make_mesh(4)
+b = StreamedIndexBuild(idx, mesh, os.path.join(root, f"host_{host:03d}"))
+for off in range(lo, hi, 512):
+    n = min(512, hi - off)
+    b.add_batch(base[off:off + n],
+                np.arange(off, off + n, dtype=np.int32))
+b.close()
+print("done", host, b.processed)
+"""
+
+
+def test_two_host_build_merges_bit_identical(trained, tmp_path):
+    """Two simulated hosts (separate processes, separate spill dirs) build
+    disjoint contiguous slices; merge_host_spills must produce a store
+    bit-identical to the single-host build of the full stream."""
+    import subprocess
+    import sys
+
+    from ivfhnsw_tpu.parallel.pipeline import merge_host_spills
+
+    cfg, idx, base = trained
+    root = str(tmp_path)
+    np.save(os.path.join(root, "base.npy"), base)
+    np.save(os.path.join(root, "centroids.npy"), np.asarray(idx.centroids))
+    idx.save_quantizers(os.path.join(root, "t.pq"),
+                        os.path.join(root, "t.npq"))
+    worker = os.path.join(root, "worker.py")
+    with open(worker, "w") as f:
+        f.write(_HOST_WORKER)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo_root + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen([sys.executable, worker, root, str(h), "2"],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for h in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    merged = merge_host_spills(
+        fresh_index(cfg, idx),
+        [os.path.join(root, f"host_{h:03d}") for h in range(2)])
+
+    # Single-host reference build over the full stream (with explicit ids,
+    # matching the workers').
+    mesh = make_mesh(8)
+    ref = StreamedIndexBuild(fresh_index(cfg, idx), mesh,
+                             str(tmp_path / "single"))
+    for off in range(0, base.shape[0], 512):
+        ref.add_batch(base[off:off + 512],
+                      np.arange(off, min(off + 512, base.shape[0]),
+                                dtype=np.int32))
+    ref_store = store_arrays(ref.finalize())
+    got = store_arrays(merged)
+    for k in ref_store:
+        np.testing.assert_array_equal(got[k], ref_store[k])
