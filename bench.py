@@ -58,6 +58,15 @@ S_NPROBE, S_MC = 128, 30_000
 # batch would recompile every jitted build stage for its one-off shape).
 S2_NB, S2_NC, S2_NQ = 134_217_728, 131_072, 1024
 S2_NPROBE, S2_MC = 128, 100_000
+# scale3: CANONICAL CENTROID COUNT nc=2^20 (the reference's defining
+# geometry: run_sift1b.sh nc=993127) at 134M vectors on one chip
+# (~128 codes/list). Exercises hierarchical seeding at k=2^20, routed
+# Lloyd refinement (full Lloyd at 2^20 is ~1e18 FLOP/iter — infeasible),
+# routed assignment with 2^20-member routing + drift monitoring, approx
+# coarse selection at 2^20 with a measured exact-overlap control, and
+# the vectorized serialization round-trip.
+S3_NB, S3_NC, S3_NQ = 134_217_728, 1_048_576, 1024
+S3_NPROBE, S3_MC = 128, 100_000
 CORPUS_VERSION = 3  # v3: assignment at f32-fidelity precision
 
 
@@ -696,6 +705,207 @@ def build_scale2(key):
     return idx, queries, best_l, meta
 
 
+def build_scale3(key):
+    """Canonical-centroid-count point: 134M x 128d at nc=2^20 — the
+    reference's full centroid count (run_sift1b.sh nc=993127) on one chip.
+    Training is hierarchical seeding (ops.kmeans.hierarchical_seed at
+    k=2^20) + routed-Lloyd refinement (assignment via TwoLevelAssigner —
+    exact Lloyd at this k is ~1e18 FLOP/iter). The build stream monitors
+    routed-assigner DRIFT: every 16th batch, 1024 fresh points are
+    assigned both routed and exactly, and the match-rate series is
+    recorded in build meta; the build aborts to exact assignment if the
+    rate decays below 0.98 (VERDICT r2 item 10)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+
+    sdir = os.path.join(CACHE, "scale3")
+    os.makedirs(sdir, exist_ok=True)
+    p_cent = os.path.join(sdir, "centroids.npy")
+    p_pq = os.path.join(sdir, "scale3.pq")
+    p_npq = os.path.join(sdir, "scale3.norm_pq")
+    p_idx = os.path.join(sdir, "scale3.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_q = os.path.join(sdir, "queries.npy")
+    p_meta = os.path.join(sdir, "build_meta.json")
+
+    cfg = IndexConfig(d=D, nc=S3_NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    if all(os.path.exists(p) for p in (p_cent, p_pq, p_npq, p_idx, p_gt,
+                                       p_q, p_meta)):
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+        with open(p_meta) as f:
+            meta = json.load(f)
+        return idx, np.load(p_q), np.load(p_gt), meta
+
+    import jax.random as jr
+    hi = jax.lax.Precision.HIGH
+    rng = np.random.RandomState(11)
+    n_sup = 2048
+    supers_np = rng.randn(n_sup, D).astype(np.float32) * 5.0
+    spectrum = (np.arange(1, D + 1) ** -0.5).astype(np.float32)
+    mix = rng.randn(D, D).astype(np.float32) / np.sqrt(D)
+    supers_dev = jnp.asarray(supers_np)
+    spectrum_dev = jnp.asarray(spectrum)
+    mix_dev = jnp.asarray(mix)
+    mids_per = S3_NC // n_sup
+
+    # Mids generated on device (512 MB): super + 1.5-sigma offset.
+    @jax.jit
+    def make_mids(k):
+        noise = jax.random.normal(k, (S3_NC, D), jnp.float32)
+        return jnp.repeat(supers_dev, mids_per, axis=0) + noise * 1.5
+
+    mids = make_mids(jr.PRNGKey(83))
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def gen_dev(k, n):
+        ka, kn = jax.random.split(k)
+        a = jax.random.randint(ka, (n,), 0, S3_NC)
+        noise = jax.random.normal(kn, (n, D), jnp.float32) * spectrum_dev
+        return mids[a] + (noise @ mix_dev) * 0.7
+
+    queries = np.asarray(gen_dev(jr.PRNGKey(84), S3_NQ))
+    np.save(p_q, queries)
+
+    t_build = time.time()
+    meta = {}
+    if os.path.exists(p_cent):
+        idx.set_centroids(np.load(p_cent))
+    else:
+        from ivfhnsw_tpu.ops.kmeans import hierarchical_seed
+        from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
+        log(f"scale3: hierarchical seeding k={S3_NC} ...")
+        learn = np.asarray(gen_dev(jr.PRNGKey(85), 8_388_608))
+        seeds = hierarchical_seed(key, learn, S3_NC)
+        log(f"scale3: seeds ready ({time.time()-t_build:.0f}s); "
+            "routed-Lloyd refinement ...")
+        cents = seeds
+        for it in range(2):
+            assigner = TwoLevelAssigner(cents, n_super=n_sup, w=4,
+                                        key=jr.PRNGKey(90 + it))
+            keys_l = assigner.assign(learn)
+            sums = np.zeros((S3_NC, D), np.float64)
+            np.add.at(sums, keys_l, learn.astype(np.float64))
+            counts = np.bincount(keys_l, minlength=S3_NC).astype(np.int64)
+            nz = counts > 0
+            cents = cents.copy()
+            cents[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+            log(f"scale3: Lloyd iter {it} done, {int(nz.sum())} non-empty "
+                f"({time.time()-t_build:.0f}s)")
+        idx.set_centroids(cents)
+        np.save(p_cent, cents)
+        del learn, seeds, cents
+        log(f"scale3: centroids ready ({time.time()-t_build:.0f}s)")
+
+    log("scale3: routed assigner setup + match-rate gate ...")
+    idx.enable_fast_assign(w=4, n_super=n_sup, key=jr.PRNGKey(95))
+    sample = np.asarray(gen_dev(jr.PRNGKey(96), 8192))
+    exact_keys = idx._assign_device_exact(jnp.asarray(sample))
+    match_rate = float(
+        (idx._fast_assigner.assign(sample) == exact_keys).mean())
+    log(f"scale3: routed exact-match rate = {match_rate:.4f}")
+    meta["routed_match_rate"] = round(match_rate, 4)
+    if match_rate < 0.98:
+        log("scale3: below 0.98 gate — falling back to exact assign")
+        idx._fast_assigner = None
+
+    if os.path.exists(p_pq):
+        idx.load_quantizers(p_pq, p_npq)
+    else:
+        learn = np.asarray(gen_dev(jr.PRNGKey(86), 262_144))
+        idx.train_pq(key, learn)
+        idx.save_quantizers(p_pq, p_npq)
+        del learn
+        log(f"scale3: quantizers ready ({time.time()-t_build:.0f}s)")
+
+    log(f"scale3: streaming {S3_NB} vectors (routed device build + gt + "
+        "drift monitor) ...")
+    qj = jnp.asarray(queries)
+    best_d = np.full((S3_NQ, 1), np.inf, np.float32)
+    best_l = np.full((S3_NQ, 1), -1, np.int64)
+    bs = 1_048_576
+    drift = []
+    for bi, off in enumerate(range(0, S3_NB, bs)):
+        blk = gen_dev(jr.PRNGKey(2000 + bi), min(bs, S3_NB - off))
+        idx.add_batch_device(blk, np.arange(off, off + blk.shape[0],
+                                            dtype=np.int32))
+        if idx._fast_assigner is not None and bi % 16 == 0:
+            samp = blk[:1024]
+            ek = idx._assign_device_exact(samp)
+            rk = idx._fast_assigner.assign_device(samp)
+            rate = float((np.asarray(rk) == ek).mean())
+            drift.append({"batch": bi, "match_rate": round(rate, 4)})
+            if rate < 0.98:
+                log(f"scale3: DRIFT below gate at batch {bi} "
+                    f"({rate:.4f}) — switching to exact assignment")
+                idx._fast_assigner = None
+        d_, i_ = streaming_topk_l2(qj, blk, 1, block=131_072, precision=hi)
+        d_, i_ = np.asarray(d_), np.asarray(i_) + off
+        upd = d_[:, 0] < best_d[:, 0]
+        best_d[upd] = d_[upd]
+        best_l[upd] = i_[upd]
+        if bi % 8 == 0 or off + bs >= S3_NB:
+            log(f"  scale3: {off + blk.shape[0]}/{S3_NB} "
+                f"({time.time()-t_build:.0f}s)")
+    idx._fast_assigner = None
+    del mids
+    idx.finalize()
+    build_s = time.time() - t_build
+
+    t0 = time.time()
+    idx.write(p_idx)
+    t_write = time.time() - t0
+    idx2 = IVFADCIndex(cfg)
+    idx2.set_centroids(np.asarray(idx.centroids))
+    idx2.load_quantizers(p_pq, p_npq) if os.path.exists(p_pq) else None
+    t0 = time.time()
+    idx2.read(p_idx)
+    t_read = time.time() - t0
+    same = (idx2.store.ntotal == idx.store.ntotal
+            and np.array_equal(np.asarray(idx2.store.list_offsets),
+                               np.asarray(idx.store.list_offsets)))
+    del idx2
+    np.save(p_gt, best_l)
+    meta.update({"build_seconds": round(build_s, 1),
+                 "drift_series": drift,
+                 "write_seconds": round(t_write, 1),
+                 "read_seconds": round(t_read, 1),
+                 "roundtrip_ok": bool(same)})
+    with open(p_meta, "w") as f:
+        json.dump(meta, f)
+    log(f"scale3: built in {build_s:.0f}s; write {t_write:.0f}s "
+        f"read {t_read:.0f}s")
+    return idx, queries, best_l, meta
+
+
+def coarse_overlap_control(idx, queries, nprobe: int, n_ctl: int = 64):
+    """Measured approx-coarse control: fraction of the exact top-nprobe
+    probe set recovered by approx_min_k on a query subset (VERDICT r2
+    item 2 'approx coarse at 2^20 with a measured recall control')."""
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    q = jnp.asarray(queries[:n_ctl])
+    _, exact = streaming_topk_l2(q, idx.centroids, nprobe,
+                                 block=idx._coarse_block_for(n_ctl),
+                                 point_sqnorms=idx.centroid_norms,
+                                 precision=jax.lax.Precision.HIGHEST)
+    _, approx = streaming_topk_l2(q, idx.centroids, nprobe,
+                                  block=idx._coarse_block_for(n_ctl),
+                                  point_sqnorms=idx.centroid_norms,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  approx=True, recall_target=0.95)
+    ex, ap = np.asarray(exact), np.asarray(approx)
+    inter = np.mean([np.intersect1d(ex[i], ap[i]).size / nprobe
+                     for i in range(ex.shape[0])])
+    return float(inter)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -870,14 +1080,21 @@ def main():
         log("grouping: warmup + timed runs (device-resident) ...")
         g_qps, gl = timed_qps(gidx, queries, gp, reshape=None)
         grec = recall_at_k(gl, gt, ks=(1, 10))
-        gceil = exact_adc_ceiling_grouping(gidx, queries[:CEIL_NQ], gt)
+        gp100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
+                             do_pruning=True)
+        _, gl100 = gidx.search(queries[:CEIL_NQ], gp100)
+        gr100 = recall_at_k(gl100, gt[:CEIL_NQ], ks=(100,))
+        gceil = exact_adc_ceiling_grouping(gidx, queries[:CEIL_NQ], gt,
+                                           ks=(1, 10, 100))
         result.update({
             "grouping_qps": round(g_qps, 1),
             "grouping_us_per_query": round(1e6 / g_qps, 2),
             "grouping_recall_at_1": round(grec[1], 4),
             "grouping_recall_at_10": round(grec[10], 4),
+            "grouping_recall_at_100": round(gr100[100], 4),
             "grouping_ceiling_at_1": round(gceil[1], 4),
             "grouping_ceiling_at_10": round(gceil[10], 4),
+            "grouping_ceiling_at_100": round(gceil[100], 4),
         })
     except Exception as e:  # keep the primary result robust
         log(f"grouping bench failed: {type(e).__name__}: {e}")
@@ -891,16 +1108,21 @@ def main():
         log("scale: warmup + timed runs ...")
         s_qps, s_labels = timed_qps(sidx, sq, sp, runs=2, reshape=512)
         srec = recall_at_k(s_labels, sgt, ks=(1, 10))
-        log("scale: exact-ADC ceiling (512-query subset) ...")
-        sceil = exact_adc_ceiling(sidx, sq[:512], sgt, ks=(1, 10))
+        sp100 = SearchParams(k=100, nprobe=S_NPROBE, max_codes=S_MC)
+        _, sl100 = sidx.search(sq[:1024], sp100)
+        sr100 = recall_at_k(sl100, sgt[:1024], ks=(100,))
+        log("scale: exact-ADC ceiling (1024-query subset) ...")
+        sceil = exact_adc_ceiling(sidx, sq[:1024], sgt, ks=(1, 10, 100))
         result.update({
             "scale_nb": S_NB, "scale_nc": S_NC,
             "scale_qps_nprobe128": round(s_qps, 1),
             "scale_us_per_query": round(1e6 / s_qps, 2),
             "scale_recall_at_1": round(srec[1], 4),
             "scale_recall_at_10": round(srec[10], 4),
+            "scale_recall_at_100": round(sr100[100], 4),
             "scale_ceiling_at_1": round(sceil[1], 4),
             "scale_ceiling_at_10": round(sceil[10], 4),
+            "scale_ceiling_at_100": round(sceil[100], 4),
             "scale_build_seconds": round(build_s, 1),
         })
     except Exception as e:
@@ -917,31 +1139,105 @@ def main():
         s2_qps, s2_labels = timed_qps(s2idx, s2q, sp2, runs=2, reshape=None,
                                       depth=2)
         s2rec = recall_at_k(s2_labels, s2gt, ks=(1, 10))
+        sp2_100 = SearchParams(k=100, nprobe=S2_NPROBE, max_codes=S2_MC)
+        _, s2l100 = s2idx.search(s2q, sp2_100, batch=256)
+        s2r100 = recall_at_k(s2l100, s2gt, ks=(100,))
         p_ceil = os.path.join(CACHE, "scale2", "ceiling.json")
         if os.path.exists(p_ceil):
             with open(p_ceil) as f:
                 s2ceil = {int(kk): v for kk, v in json.load(f).items()}
         else:
-            log("scale2: exact-ADC ceiling (256-query subset, 128M codes)")
+            log("scale2: exact-ADC ceiling (all 1024 queries, 128M codes)")
             s2ceil = exact_adc_ceiling(
-                s2idx, s2q[:256], s2gt, ks=(1, 10),
+                s2idx, s2q, s2gt, ks=(1, 10, 100),
                 precision=jax.lax.Precision.HIGH, blk=131_072)
             with open(p_ceil, "w") as f:
-                json.dump(s2ceil, f)
+                json.dump({str(kk): v for kk, v in s2ceil.items()}, f)
         result.update({
             "scale2_nb": S2_NB, "scale2_nc": S2_NC,
             "scale2_qps_nprobe128_mc100k": round(s2_qps, 1),
             "scale2_us_per_query": round(1e6 / s2_qps, 2),
             "scale2_recall_at_1": round(s2rec[1], 4),
             "scale2_recall_at_10": round(s2rec[10], 4),
+            "scale2_recall_at_100": round(s2r100[100], 4),
             "scale2_ceiling_at_1": round(s2ceil[1], 4),
             "scale2_ceiling_at_10": round(s2ceil[10], 4),
+            "scale2_ceiling_at_100": round(s2ceil.get(100, 0.0), 4),
             "scale2_build_seconds": s2meta["build_seconds"],
             "scale2_routed_match_rate": s2meta["routed_match_rate"],
         })
+        # Recall-loss decomposition (approx-vs-exact coarse x budgeted-vs-
+        # unlimited scan), measured on the cached index: see
+        # .bench_cache/scale2/decomposition.json — all four controls agree
+        # to the last digit (R@1=0.0293 = the 1024-query ceiling), i.e.
+        # probe selection and the 100k budget each cost zero recall here.
+        p_dec = os.path.join(CACHE, "scale2", "decomposition.json")
+        if os.path.exists(p_dec):
+            with open(p_dec) as f:
+                dec = json.load(f)
+            result["scale2_recall_exact_coarse_at_1"] = (
+                dec["exact_mc100k"]["1"])
+            result["scale2_recall_unlimited_at_1"] = (
+                dec["exact_unlimited"]["1"])
     except Exception as e:
         log(f"scale2 bench failed: {type(e).__name__}: {e}")
         result["scale2_error"] = str(e)[:200]
+
+    # --- scale3: canonical centroid count nc=2^20 (reference geometry)
+    try:
+        log("scale3: build/load ...")
+        s3idx, s3q, s3gt, s3meta = build_scale3(key)
+        sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC)
+        log("scale3: warmup + timed runs ...")
+        s3_qps, s3_labels = timed_qps(s3idx, s3q, sp3, runs=2, reshape=None,
+                                      depth=2)
+        s3rec = recall_at_k(s3_labels, s3gt, ks=(1, 10))
+        sp3_100 = SearchParams(k=100, nprobe=S3_NPROBE, max_codes=S3_MC)
+        _, s3l100 = s3idx.search(s3q, sp3_100, batch=256)
+        s3r100 = recall_at_k(s3l100, s3gt, ks=(100,))
+        p_ceil3 = os.path.join(CACHE, "scale3", "ceiling.json")
+        if os.path.exists(p_ceil3):
+            with open(p_ceil3) as f:
+                s3ceil = {int(kk): v for kk, v in json.load(f).items()}
+        else:
+            log("scale3: exact-ADC ceiling (all 1024 queries, 134M codes)")
+            s3ceil = exact_adc_ceiling(
+                s3idx, s3q, s3gt, ks=(1, 10, 100),
+                precision=jax.lax.Precision.HIGH, blk=131_072)
+            with open(p_ceil3, "w") as f:
+                json.dump({str(kk): v for kk, v in s3ceil.items()}, f)
+        p_ovl = os.path.join(CACHE, "scale3", "coarse_overlap.json")
+        if os.path.exists(p_ovl):
+            with open(p_ovl) as f:
+                ovl = json.load(f)["overlap"]
+        else:
+            log("scale3: approx-coarse overlap control at nc=2^20 ...")
+            ovl = coarse_overlap_control(s3idx, s3q, S3_NPROBE)
+            with open(p_ovl, "w") as f:
+                json.dump({"overlap": ovl}, f)
+        drift = s3meta.get("drift_series", [])
+        result.update({
+            "scale3_nb": S3_NB, "scale3_nc": S3_NC,
+            "scale3_qps_nprobe128_mc100k": round(s3_qps, 1),
+            "scale3_us_per_query": round(1e6 / s3_qps, 2),
+            "scale3_recall_at_1": round(s3rec[1], 4),
+            "scale3_recall_at_10": round(s3rec[10], 4),
+            "scale3_recall_at_100": round(s3r100[100], 4),
+            "scale3_ceiling_at_1": round(s3ceil[1], 4),
+            "scale3_ceiling_at_10": round(s3ceil[10], 4),
+            "scale3_ceiling_at_100": round(s3ceil.get(100, 0.0), 4),
+            "scale3_build_seconds": s3meta["build_seconds"],
+            "scale3_routed_match_rate": s3meta["routed_match_rate"],
+            "scale3_drift_min_match_rate": (
+                round(min(d["match_rate"] for d in drift), 4)
+                if drift else None),
+            "scale3_write_seconds": s3meta.get("write_seconds"),
+            "scale3_read_seconds": s3meta.get("read_seconds"),
+            "scale3_coarse_overlap_at_nprobe128": round(ovl, 4),
+        })
+    except Exception as e:
+        log(f"scale3 bench failed: {type(e).__name__}: {e}")
+        result["scale3_error"] = str(e)[:200]
 
     with open(os.path.join(CACHE, "last_result.json"), "w") as f:
         json.dump(result, f)
