@@ -705,6 +705,52 @@ def build_scale2(key):
     return idx, queries, best_l, meta
 
 
+def make_scale3_gen():
+    """scale3/1B shared corpus: 2048 supers -> 2^20 device-generated mids
+    (512 MB, resident while generating) -> anisotropic points. Returns
+    (gen_dev(key, n) -> [n, d] device f32, release() to free the mids).
+    Deterministic per key, so resumed builds regenerate identical bytes."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    rng = np.random.RandomState(11)
+    n_sup = 2048
+    supers_np = rng.randn(n_sup, D).astype(np.float32) * 5.0
+    spectrum = (np.arange(1, D + 1) ** -0.5).astype(np.float32)
+    mix = rng.randn(D, D).astype(np.float32) / np.sqrt(D)
+    supers_dev = jnp.asarray(supers_np)
+    spectrum_dev = jnp.asarray(spectrum)
+    mix_dev = jnp.asarray(mix)
+    mids_per = S3_NC // n_sup
+
+    @jax.jit
+    def make_mids(k):
+        noise = jax.random.normal(k, (S3_NC, D), jnp.float32)
+        return jnp.repeat(supers_dev, mids_per, axis=0) + noise * 1.5
+
+    state = {"mids": make_mids(jr.PRNGKey(83))}
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def gen_dev(k, n):
+        ka, kn = jax.random.split(k)
+        a = jax.random.randint(ka, (n,), 0, S3_NC)
+        noise = jax.random.normal(kn, (n, D), jnp.float32) * spectrum_dev
+        return state["mids"][a] + (noise @ mix_dev) * 0.7
+
+    def release():
+        # The jitted gen_dev closes over the mids buffer; clearing its
+        # compile cache drops the executable's reference so HBM frees.
+        state["mids"] = None
+        try:
+            gen_dev.clear_cache()
+        except AttributeError:
+            pass
+
+    return gen_dev, release
+
+
 def build_scale3(key):
     """Canonical-centroid-count point: 134M x 128d at nc=2^20 — the
     reference's full centroid count (run_sift1b.sh nc=993127) on one chip.
@@ -744,31 +790,8 @@ def build_scale3(key):
 
     import jax.random as jr
     hi = jax.lax.Precision.HIGH
-    rng = np.random.RandomState(11)
     n_sup = 2048
-    supers_np = rng.randn(n_sup, D).astype(np.float32) * 5.0
-    spectrum = (np.arange(1, D + 1) ** -0.5).astype(np.float32)
-    mix = rng.randn(D, D).astype(np.float32) / np.sqrt(D)
-    supers_dev = jnp.asarray(supers_np)
-    spectrum_dev = jnp.asarray(spectrum)
-    mix_dev = jnp.asarray(mix)
-    mids_per = S3_NC // n_sup
-
-    # Mids generated on device (512 MB): super + 1.5-sigma offset.
-    @jax.jit
-    def make_mids(k):
-        noise = jax.random.normal(k, (S3_NC, D), jnp.float32)
-        return jnp.repeat(supers_dev, mids_per, axis=0) + noise * 1.5
-
-    mids = make_mids(jr.PRNGKey(83))
-
-    @functools.partial(jax.jit, static_argnames="n")
-    def gen_dev(k, n):
-        ka, kn = jax.random.split(k)
-        a = jax.random.randint(ka, (n,), 0, S3_NC)
-        noise = jax.random.normal(kn, (n, D), jnp.float32) * spectrum_dev
-        return mids[a] + (noise @ mix_dev) * 0.7
-
+    gen_dev, release_gen = make_scale3_gen()
     queries = np.asarray(gen_dev(jr.PRNGKey(84), S3_NQ))
     np.save(p_q, queries)
 
@@ -853,7 +876,7 @@ def build_scale3(key):
             log(f"  scale3: {off + blk.shape[0]}/{S3_NB} "
                 f"({time.time()-t_build:.0f}s)")
     idx._fast_assigner = None
-    del mids
+    release_gen()
     idx.finalize()
     build_s = time.time() - t_build
 
@@ -1238,6 +1261,24 @@ def main():
     except Exception as e:
         log(f"scale3 bench failed: {type(e).__name__}: {e}")
         result["scale3_error"] = str(e)[:200]
+
+    # --- 1B assign+encode (tools/build_1b.py writes this artifact; the
+    # bench only REPORTS it — the run itself is multi-hour)
+    p_1b = os.path.join(CACHE, "build1b.json")
+    if os.path.exists(p_1b):
+        with open(p_1b) as f:
+            b1 = json.load(f)
+        drift1b = b1.get("drift_series", [])
+        result.update({
+            "build_1b_vectors": b1.get("processed"),
+            "build_1b_seconds": b1.get("build_seconds"),
+            "build_1b_vectors_per_sec": b1.get("vectors_per_sec"),
+            "build_1b_fraction": b1.get("fraction_of_1b"),
+            "build_1b_resumes": b1.get("resumes"),
+            "build_1b_drift_min_match_rate": (
+                round(min(d["match_rate"] for d in drift1b), 4)
+                if drift1b else None),
+        })
 
     with open(os.path.join(CACHE, "last_result.json"), "w") as f:
         json.dump(result, f)

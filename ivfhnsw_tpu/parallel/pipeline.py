@@ -130,6 +130,24 @@ class StreamedIndexBuild:
         self.processed += n
         self._commit_cursor()
 
+    def add_precomputed(self, keys, xids, codes, ncodes) -> None:
+        """Commit one batch whose assign+encode already happened elsewhere
+        (e.g. the routed TwoLevelAssigner + device-resident encoder on the
+        billion-scale path, tools/build_1b.py) — reuses the same write-ahead
+        spill + atomic-cursor crash-safety as add_batch."""
+        keys = np.asarray(keys, "<i4")
+        n = keys.shape[0]
+        for name, arr in zip(SPILLS, (keys,
+                                      np.asarray(xids, "<i4"),
+                                      np.asarray(codes, "u1"),
+                                      np.asarray(ncodes, "u1"))):
+            f = self._files[name]
+            arr.tofile(f)
+            f.flush()
+            os.fsync(f.fileno())
+        self.processed += n
+        self._commit_cursor()
+
     def _commit_cursor(self) -> None:
         sizes = {name: self._files[name].tell() for name in SPILLS}
         tmp = os.path.join(self.workdir, CURSOR + ".tmp")
