@@ -136,9 +136,11 @@ def _cpu_model() -> str:
     return "unknown"
 
 
-def measure_cpu_baseline(idx, queries, gt):
+def measure_cpu_baseline(idx, queries, gt, tag="cpu_baseline"):
     """Run native/cpu_baseline (single-thread C++ reference-semantics search)
     at the primary operating point; returns (us_per_query, recall_at_1).
+    ``tag`` keys the cache file, so the same binary measures any corpus
+    (the siftlike stage reuses it for same-corpus relative parity).
 
     Measurement discipline (round-3 fix: the round-2 cached 747.9 us/q was
     measured while the bench's own device-wait processes competed for this
@@ -149,7 +151,7 @@ def measure_cpu_baseline(idx, queries, gt):
     is auditable. Caches lacking the `runs` field are busted as contaminated."""
     from ivfhnsw_tpu.utils.recall import recall_at_k
 
-    p_json = os.path.join(CACHE, "cpu_baseline.json")
+    p_json = os.path.join(CACHE, tag + ".json")
     if os.path.exists(p_json):
         with open(p_json) as f:
             d = json.load(f)
@@ -166,11 +168,13 @@ def measure_cpu_baseline(idx, queries, gt):
 
     log("exporting baseline blob ...")
     store = idx._ensure_store()
-    blob = os.path.join(CACHE, "cpu_baseline.blob")
-    labels_out = os.path.join(CACHE, "cpu_baseline.labels")
+    nq = queries.shape[0]
+    blob = os.path.join(CACHE, tag + ".blob")
+    labels_out = os.path.join(CACHE, tag + ".labels")
     with open(blob, "wb") as f:
         np.asarray([0x49564241], "<i4").tofile(f)
-        np.asarray([D, NC, CODE_SIZE, 256, NQ, NPROBE, MAX_CODES, K, 80],
+        np.asarray([idx.d, idx.nc, idx.code_size, 256, nq, NPROBE,
+                    MAX_CODES, K, 80],
                    "<i4").tofile(f)                       # ef=80 (run_sift1b.sh)
         np.asarray([store.codes.shape[0]], "<i8").tofile(f)
         np.asarray(idx.centroids, "<f4").tofile(f)
@@ -211,13 +215,13 @@ def measure_cpu_baseline(idx, queries, gt):
         runs.append({"us_per_query": us_i,
                      "loadavg_at_start": round(load_at_start, 3)})
         log(f"  run {run_i}: {us_i:.1f} us/q")
-        labels = np.fromfile(labels_out, "<i8").reshape(NQ, K)
+        labels = np.fromfile(labels_out, "<i8").reshape(nq, K)
     us = min(r_["us_per_query"] for r_ in runs)
     rec = recall_at_k(labels, gt, ks=(1,))[1]
     os.remove(blob)
     with open(p_json, "w") as f:
         json.dump({"us_per_query": us, "recall_at_1": float(rec),
-                   "nq": NQ, "runs": runs, "nproc": os.cpu_count(),
+                   "nq": nq, "runs": runs, "nproc": os.cpu_count(),
                    "cpu_model": _cpu_model()}, f)
     log(f"  cpu baseline: {us:.1f} us/query (min of {len(runs)}), "
         f"R@1={rec:.4f}")
@@ -906,6 +910,75 @@ def build_scale3(key):
     return idx, queries, best_l, meta
 
 
+def build_siftlike(key):
+    """SIFT-faithful corpus stage (VERDICT r2 item 6): uint8-quantized,
+    heavy-tailed cell x orientation-bin descriptors with held-out queries
+    (ivfhnsw_tpu.utils.siftlike), at the primary geometry + operating
+    point, calibrated so the exact-ADC ceiling@1 lands in the paper's
+    SIFT1B band (0.3-0.45 at 16-byte codes — run_sift1b.sh:38-44)."""
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    from ivfhnsw_tpu.utils.siftlike import SiftLikeCorpus
+
+    sdir = os.path.join(CACHE, "siftlike")
+    os.makedirs(sdir, exist_ok=True)
+    p_cent = os.path.join(sdir, "centroids.npy")
+    p_pq = os.path.join(sdir, "sl.pq")
+    p_npq = os.path.join(sdir, "sl.norm_pq")
+    p_idx = os.path.join(sdir, "sl.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_q = os.path.join(sdir, "queries.npy")
+
+    cfg = IndexConfig(d=D, nc=NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    if all(os.path.exists(p) for p in (p_cent, p_pq, p_npq, p_idx, p_gt,
+                                       p_q)):
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+        return idx, np.load(p_q), np.load(p_gt)
+
+    t0 = time.time()
+    corpus = SiftLikeCorpus(n_classes=65536, seed=1)
+    log("siftlike: generating corpus ...")
+    base = np.concatenate([corpus.batch(125_000, seed=100 + i)
+                           for i in range(NB // 125_000)])
+    queries = corpus.batch(NQ, seed=9999)          # held out of base
+    np.save(p_q, queries)
+    if os.path.exists(p_cent):
+        idx.set_centroids(np.load(p_cent))
+    else:
+        log("siftlike: training centroids ...")
+        idx.train_centroids(key, base[:300_000], niter=10)
+        np.save(p_cent, np.asarray(idx.centroids))
+    if os.path.exists(p_pq):
+        idx.load_quantizers(p_pq, p_npq)
+    else:
+        idx.train_pq(key, base[:65_536])
+        idx.save_quantizers(p_pq, p_npq)
+    log(f"siftlike: model ready ({time.time()-t0:.0f}s); adding base ...")
+    bs = 262_144
+    for off in range(0, NB, bs):
+        idx.add_batch(base[off:off + bs],
+                      np.arange(off, min(off + bs, NB), dtype=np.int32))
+    idx.finalize()
+    idx.write(p_idx)
+    log(f"siftlike: index ready ({time.time()-t0:.0f}s); groundtruth ...")
+    gt = np.empty((NQ, 1), np.int64)
+    basej = jnp.asarray(base)
+    hp = jax.lax.Precision.HIGHEST
+    for off in range(0, NQ, 1024):
+        _, i_ = streaming_topk_l2(jnp.asarray(queries[off:off + 1024]),
+                                  basej, 1, block=131_072, precision=hp)
+        gt[off:off + 1024] = np.asarray(i_)
+    del basej
+    np.save(p_gt, gt)
+    log(f"siftlike: done ({time.time()-t0:.0f}s)")
+    return idx, queries, gt
+
+
 def coarse_overlap_control(idx, queries, nprobe: int, n_ctl: int = 64):
     """Measured approx-coarse control: fraction of the exact top-nprobe
     probe set recovered by approx_min_k on a query subset (VERDICT r2
@@ -1205,6 +1278,40 @@ def main():
     except Exception as e:
         log(f"scale2 bench failed: {type(e).__name__}: {e}")
         result["scale2_error"] = str(e)[:200]
+
+    # --- siftlike: SIFT-faithful corpus — recall comparable to the
+    # reference's SIFT1B regime, with same-corpus CPU-port relative parity
+    try:
+        log("siftlike: build/load ...")
+        slidx, slq, slgt = build_siftlike(key)
+        log("siftlike: warmup + timed runs ...")
+        sl_qps, sll = timed_qps(slidx, slq, params)
+        slrec = recall_at_k(sll, slgt, ks=(1, 10))
+        p100sl = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES)
+        _, sll100 = slidx.search(slq[:CEIL_NQ], p100sl)
+        slr100 = recall_at_k(sll100, slgt[:CEIL_NQ], ks=(100,))
+        slceil = exact_adc_ceiling(slidx, slq[:CEIL_NQ], slgt,
+                                   ks=(1, 10, 100))
+        sl_cpu_us, sl_cpu_r1 = measure_cpu_baseline(
+            slidx, slq, slgt, tag="cpu_baseline_siftlike")
+        result.update({
+            "siftlike_qps": round(sl_qps, 1),
+            "siftlike_us_per_query": round(1e6 / sl_qps, 2),
+            "siftlike_recall_at_1": round(slrec[1], 4),
+            "siftlike_recall_at_10": round(slrec[10], 4),
+            "siftlike_recall_at_100": round(slr100[100], 4),
+            "siftlike_ceiling_at_1": round(slceil[1], 4),
+            "siftlike_ceiling_at_10": round(slceil[10], 4),
+            "siftlike_ceiling_at_100": round(slceil[100], 4),
+        })
+        if sl_cpu_us:
+            result["siftlike_cpu_us_per_query"] = round(sl_cpu_us, 2)
+            result["siftlike_cpu_recall_at_1"] = round(sl_cpu_r1, 4)
+            result["siftlike_vs_baseline"] = round(
+                sl_qps / (1e6 / sl_cpu_us), 3)
+    except Exception as e:
+        log(f"siftlike bench failed: {type(e).__name__}: {e}")
+        result["siftlike_error"] = str(e)[:200]
 
     # --- scale3: canonical centroid count nc=2^20 (reference geometry)
     try:
