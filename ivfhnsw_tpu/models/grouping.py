@@ -506,8 +506,6 @@ class IVFADCGroupingIndex(IVFADCIndex):
         nq = queries.shape[0]
         nprobe = min(params.nprobe, self.nc)
         engine = self._resolve_engine(trace)
-        if engine.startswith("batch"):
-            engine = "pallas"  # no shared-scan variant for grouping (yet)
         if engine == "xla":
             L = self._scan_budget(params)
         else:

@@ -137,11 +137,13 @@ class IVFADCIndex:
         # a USER CEILING honored uniformly by every engine (search + train +
         # assign) — set it to bound the [B, block] coarse score buffer.
         self.coarse_block = None
-        # Scan engine: "auto" picks the Pallas shared-scan batch kernel on
-        # TPU and the portable XLA path elsewhere. Explicit options:
-        # "xla", "pallas" (per-query fused kernel), "batch" (query-blocked
-        # shared scan, the fast path for batch workloads), and
-        # "*_interpret" variants for CPU correctness testing.
+        # Scan engine: "auto" picks the Pallas fused kernel on TPU and the
+        # portable XLA path elsewhere. Explicit options: "xla", "pallas",
+        # and "pallas_interpret" for CPU correctness testing. (A shared-
+        # scan "batch" engine existed through round 2; it lost to the
+        # per-query kernel at every measured geometry — engine_crossover
+        # r2 — and the two-phase top-k removed its remaining rationale,
+        # so it was deleted in round 3.)
         self.engine = "auto"
         # Pallas-engine HBM tile layout: "auto" picks by average list size
         # (see _resolve_layout), "quad" = 4 chunks per DMA / 18 fetched
@@ -157,13 +159,6 @@ class IVFADCIndex:
         # section). "auto" picks twophase when the wide masked output would
         # exceed ~32k lanes/query (where its store+top-k cost dominates).
         self.scan_topk = "auto"
-        # Batch-engine knobs: queries per block, union-list capacity and
-        # chunk capacity per block (None = heuristic; overflow is counted in
-        # stats["batch_overflow"] — raise batch_u if it fires).
-        self.batch_qb = 64
-        self.batch_u: Optional[int] = None
-        self.batch_nch: Optional[int] = None
-        self._c_rank = None  # spatial centroid rank for query blocking
         # Stats counter, analog of hnswlib dist_calc (hnswalg.h:58).
         self.stats = {"queries": 0, "codes_scanned": 0}
 
@@ -385,50 +380,10 @@ class IVFADCIndex:
     def _resolve_engine(self, trace: bool) -> str:
         eng = self.engine
         if eng == "auto":
-            # NOTE: the shared-scan "batch" engine is opt-in until its
-            # at-scale device wedge (observed on v5e via the axon tunnel at
-            # grid ~32x288) is root-caused; "pallas" is the validated default.
             eng = "pallas" if jax.default_backend() == "tpu" else "xla"
         if trace:
             eng = "xla"  # trace outputs only exist on the portable path
         return eng
-
-    def _search_batch(self, blk, params: SearchParams, nprobe: int,
-                      interpret: bool):
-        """Shared-scan batch engine (ops.pallas.batch_scan)."""
-        from ivfhnsw_tpu.ops.pallas import batch_scan as bs
-        store = self._ensure_store()
-        tiled = store.tiled()
-        if self._c_rank is None:
-            self._c_rank = jnp.asarray(bs.spatial_rank(self.centroids))
-        QB = self.batch_qb
-        U = self.batch_u or min(4 * nprobe, self.nc)
-        if self.batch_nch is not None:
-            nch = self.batch_nch
-        else:
-            # Chunk capacity must cover the union's demand: U lists of
-            # roughly-average size (+1 alignment chunk each). Unlike the
-            # per-query window, the budget barely bounds this — the union
-            # spans every member's probes.
-            sizes = np.asarray(store.tiled().list_sizes)
-            avg_chunks = max(1.0, float(np.mean(sizes / bs.CHUNK + 1)))
-            nch = int(U * avg_chunks * 1.5)
-        B = blk.shape[0]
-        pad = (-B) % QB
-        if pad:
-            blk = np.pad(blk, ((0, pad), (0, 0)))
-        d, l, ov = bs.batch_search_core(
-            jnp.asarray(blk), self.centroids, self.centroid_norms,
-            self.pq.codebooks, self.norm_pq.centroids,
-            self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
-            tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
-            tiled.list_sizes, self._c_rank, jnp.int32(params.max_codes),
-            nprobe=nprobe, k=params.k, QB=QB, U=U, nch=nch,
-            coarse_block=min(self._cb(), _round_up(self.nc, 128)),
-            use_opq=self.do_opq, interpret=interpret)
-        self.stats["batch_overflow"] = (self.stats.get("batch_overflow", 0)
-                                        + int(np.asarray(ov).sum()))
-        return d[:B], l[:B]
 
     def _resolve_two_phase(self, params: SearchParams, nprobe: int) -> bool:
         if self.scan_topk != "auto":
@@ -532,10 +487,6 @@ class IVFADCIndex:
         engine = self._resolve_engine(trace)
         if engine == "xla":
             L = self._scan_budget(params)
-        elif engine.startswith("batch"):
-            # Bigger per-call batches improve probe sharing; the partial
-            # distance array [B, nch, 256] f32 bounds it.
-            batch = min(batch, 2048)
         else:
             # Scalar-prefetch chunk metadata lives in 1MB SMEM:
             # batch x nch x 4B (packed tile+len) must fit with headroom.
@@ -572,11 +523,7 @@ class IVFADCIndex:
             n = blk.shape[0]
             if n < batch and nq > batch:
                 blk = np.pad(blk, ((0, batch - n), (0, 0)))
-            if engine in ("batch", "batch_interpret"):
-                d, l = self._search_batch(
-                    blk, params, nprobe,
-                    interpret=(engine == "batch_interpret"))
-            elif engine in ("pallas", "pallas_interpret"):
+            if engine in ("pallas", "pallas_interpret"):
                 d, l = self._search_pallas(
                     blk, params, nprobe,
                     interpret=(engine == "pallas_interpret"))

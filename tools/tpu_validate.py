@@ -61,27 +61,6 @@ for prune in (False, True):
     print(f"grouping kernel OK (pruning={prune})")
 """
 
-BATCH = """
-import time
-import numpy as np, jax, jax.numpy as jnp
-from ivfhnsw_tpu.ops.pallas import batch_scan as bs
-rng = np.random.RandomState(0)
-# escalate within ONE process; a wedge kills this stage only
-for (NBLK, QB, nch, NT) in [(2, 64, 16, 64), (8, 64, 64, 1000),
-                            (32, 64, 288, 9000)]:
-    q_ext = jnp.asarray(rng.randn(NBLK, QB, bs.DEC_ROWS).astype(np.float32))
-    lens = (rng.rand(NBLK, nch) < 0.6) * 256
-    tl = jnp.asarray((rng.randint(0, NT, (NBLK, nch)) * bs.TL_PACK + lens).astype(np.int32))
-    tables = jnp.asarray(rng.randn(bs.DEC_ROWS, 256).astype(np.float32))
-    tiles = jnp.asarray(rng.randint(0, 256, (NT, 24, 256)).astype(np.uint8))
-    t0 = time.time()
-    out = bs.batch_scan(q_ext, tl, tables, tiles)
-    jax.block_until_ready(out)
-    s = float(jnp.sum(jnp.where(jnp.isfinite(out), out, 0)))
-    h = float(jnp.sum(jnp.ones((8, 8))))
-    print(f"batch_scan NBLK={NBLK} nch={nch} NT={NT}: {time.time()-t0:.2f}s sum={s:.3e} health={h}", flush=True)
-print("batch kernel survived all scales")
-"""
 
 CANONICAL = """
 # Canonical reference geometry (examples/run_sift1b_grouping_OPQ.sh:39-48):
@@ -130,7 +109,6 @@ STAGES = {
     "health": (HEALTH, 180),  # device-claim handover alone can take ~60s
     "pallas": (PALLAS_SMALL, 420),
     "grouping": (GROUPING, 420),
-    "batch": (BATCH, 420),
     "canonical": (CANONICAL, 900),
 }
 
