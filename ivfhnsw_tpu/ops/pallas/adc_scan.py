@@ -504,12 +504,12 @@ def adc_search_quad(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
 # so phase 2 never double-counts a lane.
 # ---------------------------------------------------------------------------
 
-SPB_C = 64    # chunk-min kernel: grid steps per out block (512-lane blocks)
-SPB_Q = 128   # quad-min kernel: grid steps per out block (256-lane blocks)
+SPB_C = 128   # chunk-min kernel: grid steps per out tile (1024 chunk minima)
+SPB_Q = 512   # quad-min kernel: grid steps per out tile (1024 quad minima)
 
 
-def _adc_kernel_min(tl_smem, luts_ref, tiles_hbm, out_ref, rows, scratch,
-                    sems):
+def _adc_kernel_min(tl_smem, luts_ref, tiles_hbm, out_ref, rows, acc,
+                    scratch, sems):
     """Chunk-layout phase-1 kernel: same DEPTH-slot DMA pipeline as
     :func:`_adc_kernel`, but each step reduces its CPS chunks to CPS masked
     minima and stores CPS lanes (vs CPS*CHUNK) — output traffic drops 256x
@@ -579,8 +579,18 @@ def _adc_kernel_min(tl_smem, luts_ref, tiles_hbm, out_ref, rows, scratch,
             rows[i:i + 1, :] = jnp.full((1, CHUNK), jnp.inf)
 
     minima = jnp.min(rows[:, :], axis=1)                       # [CPS]
-    out_ref[0:1, pl.ds(jax.lax.rem(j, SPB_C) * CPS, CPS)] = (
-        minima.reshape(1, CPS))
+    # Accumulate into the [8, 128] minima tile at (sublane=i, lane=j%128):
+    # Mosaic rejects dynamic-lane-offset stores, so the placement is a
+    # static masked select + running minimum; the revisited out block stays
+    # in VMEM for its whole 128-step window and is written back once.
+    @pl.when(jax.lax.rem(j, SPB_C) == 0)
+    def _():
+        acc[:, :] = jnp.full((CPS, 128), jnp.inf)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (CPS, 128), 1)
+    tile_j = jnp.where(lane_ids == jax.lax.rem(j, SPB_C),
+                       minima[:, None], jnp.inf)
+    acc[:, :] = jnp.minimum(acc[:, :], tile_j)
+    out_ref[0, 0] = acc[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -589,12 +599,13 @@ def adc_scan_tiles_min(luts_ext, chunk_tile, chunk_len, tiles,
     """Phase-1 chunk scan: per-chunk masked minima [B, nch] (raw — caller
     adds chunk_bias and masks padding slots)."""
     B, nch = chunk_tile.shape
-    blk_ch = SPB_C * CPS
+    blk_ch = SPB_C * CPS                   # 1024 chunk minima per out tile
     if nch % blk_ch:
         pad = blk_ch - nch % blk_ch
         chunk_tile = jnp.pad(chunk_tile, ((0, 0), (0, pad)))
         chunk_len = jnp.pad(chunk_len, ((0, 0), (0, pad)))
     nch_p = chunk_tile.shape[1]
+    nblk = nch_p // blk_ch
     tl = chunk_tile * TL_PACK + chunk_len
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -604,10 +615,12 @@ def adc_scan_tiles_min(luts_ext, chunk_tile, chunk_len, tiles,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, blk_ch), lambda b, j, *_: (b, j // SPB_C),
+        out_specs=pl.BlockSpec((1, 1, CPS, 128),
+                               lambda b, j, *_: (b, j // SPB_C, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((CPS, CHUNK), jnp.float32),
+            pltpu.VMEM((CPS, 128), jnp.float32),
             pltpu.VMEM((DEPTH, LUT_ROWS, CHUNK), jnp.uint8),
             pltpu.SemaphoreType.DMA((DEPTH,)),
         ],
@@ -615,16 +628,19 @@ def adc_scan_tiles_min(luts_ext, chunk_tile, chunk_len, tiles,
     out = pl.pallas_call(
         _adc_kernel_min,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nch_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nblk, CPS, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, luts_ext, tiles)
+    # chunk c sits at (block c//1024, sublane (c%1024)%8... i.e. sublane
+    # c%8, lane (c//8)%128): invert with a transpose.
+    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(B, nch_p)
     return out[:, :nch]
 
 
 def _adc_kernel_quad_min(qtl_smem, luts_ref, qtiles_hbm, out_ref, rows,
-                         scratch, sems):
+                         acc, scratch, sems):
     """Quad-layout phase-1 kernel: per-QUAD masked minima (CPSQ lanes per
     step instead of CPSQ*4*256)."""
     b = pl.program_id(0)
@@ -701,8 +717,22 @@ def _adc_kernel_quad_min(qtl_smem, luts_ref, qtiles_hbm, out_ref, rows,
 
     minima = jnp.min(rows[:, :], axis=1)                       # [CPSQ*4]
     qmin = jnp.min(minima.reshape(CPSQ, 4), axis=1)            # [CPSQ]
-    out_ref[0:1, pl.ds(jax.lax.rem(j, SPB_Q) * CPSQ, CPSQ)] = (
-        qmin.reshape(1, CPSQ))
+    # Place quad q = j*CPSQ + i at (sublane q%8, lane (q//8)%128) of the
+    # [8, 128] minima tile (1024 quads per out tile). Both of this step's
+    # quads share lane (j//4)%128 and occupy sublanes s0, s0+1 with
+    # s0 = (j*CPSQ)%8 — static masked select, no dynamic stores.
+    @pl.when(jax.lax.rem(j, SPB_Q) == 0)
+    def _():
+        acc[:, :] = jnp.full((8, 128), jnp.inf)
+    s0 = jax.lax.rem(j * CPSQ, 8)
+    ln_q = jax.lax.rem((j * CPSQ) // 8, 128)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    col = jnp.where(sub_ids == s0, qmin[0],
+                    jnp.where(sub_ids == s0 + 1, qmin[1], jnp.inf))
+    tile_j = jnp.where(lane_ids == ln_q, col, jnp.inf)
+    acc[:, :] = jnp.minimum(acc[:, :], tile_j)
+    out_ref[0, 0] = acc[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -710,12 +740,13 @@ def adc_scan_quad_min(luts_quad, qtile, qlen, qtiles,
                       interpret: bool = False):
     """Phase-1 quad scan: per-quad masked minima [B, nquad] (raw)."""
     B, nquad = qtile.shape
-    blk_q = SPB_Q * CPSQ
+    blk_q = SPB_Q * CPSQ                   # 1024 quad minima per out tile
     if nquad % blk_q:
         pad = blk_q - nquad % blk_q
         qtile = jnp.pad(qtile, ((0, 0), (0, pad)))
         qlen = jnp.pad(qlen, ((0, 0), (0, pad)))
     nq_p = qtile.shape[1]
+    nblk = nq_p // blk_q
     qtl = qtile * RTL_PACK + qlen
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -725,10 +756,12 @@ def adc_scan_quad_min(luts_quad, qtile, qlen, qtiles,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, blk_q), lambda b, j, *_: (b, j // SPB_Q),
+        out_specs=pl.BlockSpec((1, 1, 8, 128),
+                               lambda b, j, *_: (b, j // SPB_Q, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((CPSQ * 4, CHUNK), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((DEPTH_Q, QROWS, CHUNK), jnp.uint8),
             pltpu.SemaphoreType.DMA((DEPTH_Q,)),
         ],
@@ -736,11 +769,12 @@ def adc_scan_quad_min(luts_quad, qtile, qlen, qtiles,
     out = pl.pallas_call(
         _adc_kernel_quad_min,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nq_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nblk, 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(qtl, luts_quad, qtiles)
+    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(B, nq_p)
     return out[:, :nquad]
 
 
