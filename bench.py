@@ -736,21 +736,20 @@ def make_scale3_gen():
 
     state = {"mids": make_mids(jr.PRNGKey(83))}
 
+    # mids is an ARGUMENT, not a closure: a 512 MB captured constant gets
+    # serialized into the remote-compile request (HTTP 413 on the tunnel).
     @functools.partial(jax.jit, static_argnames="n")
-    def gen_dev(k, n):
+    def _gen(mids, k, n):
         ka, kn = jax.random.split(k)
         a = jax.random.randint(ka, (n,), 0, S3_NC)
         noise = jax.random.normal(kn, (n, D), jnp.float32) * spectrum_dev
-        return state["mids"][a] + (noise @ mix_dev) * 0.7
+        return mids[a] + (noise @ mix_dev) * 0.7
+
+    def gen_dev(k, n):
+        return _gen(state["mids"], k, n)
 
     def release():
-        # The jitted gen_dev closes over the mids buffer; clearing its
-        # compile cache drops the executable's reference so HBM frees.
         state["mids"] = None
-        try:
-            gen_dev.clear_cache()
-        except AttributeError:
-            pass
 
     return gen_dev, release
 

@@ -240,7 +240,7 @@ class PostingListStore:
         np.cumsum(tcnt, out=tile_off[1:])
         nt = max(int(tile_off[-1]), 1)
         n_al = nt * CHUNK
-        _check_f32_exact(sizes, nt)
+        _check_f32_exact(gsizes, nt)
 
         codes = np.asarray(self.codes)
         ncodes = np.asarray(self.norm_codes)

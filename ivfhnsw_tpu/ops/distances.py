@@ -131,6 +131,42 @@ def streaming_topk_l2(queries: jax.Array, points: jax.Array, k: int,
     return best_d, best_i
 
 
+def coarse_select_rerank(queries: jax.Array, centroids: jax.Array,
+                         nprobe: int, block: int = 65536,
+                         point_sqnorms: jax.Array | None = None,
+                         recall_target: float = 0.95,
+                         precision=jax.lax.Precision.HIGHEST):
+    """Two-stage coarse probe selection for large centroid sets.
+
+    Stage 1 scores every centroid with the MXU's native (bf16-multiply)
+    matmul + approx_min_k — measured 10-18x cheaper than a HIGHEST-
+    precision sweep at nc=2^17/B=1024, because a full-f32 matmul costs
+    multiple MXU passes. Stage 2 recomputes the nprobe winners' distances
+    exactly (HIGHEST, tiny: B x nprobe x d) and re-sorts ascending, so
+    term1 and the max_codes ascending-order budget semantics
+    (IndexIVF_HNSW.cpp:249-259, 290-292) are computed from EXACT
+    query-centroid distances; only the candidate CUT uses approximate
+    scores — the same place the reference accepts HNSW's approximation.
+
+    Returns (dists [B, nprobe] f32 exact, idxs [B, nprobe]) ascending."""
+    _, cand = streaming_topk_l2(queries, centroids, nprobe, block=block,
+                                point_sqnorms=point_sqnorms,
+                                precision=None, approx=True,
+                                recall_target=recall_target)
+    c = jnp.take(centroids, cand, axis=0)                   # [B, P, d]
+    ip = jnp.einsum("bpd,bd->bp", c, queries, precision=precision,
+                    preferred_element_type=jnp.float32)
+    if point_sqnorms is None:
+        cn = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)
+    else:
+        cn = jnp.take(point_sqnorms, cand, axis=0)
+    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+    d2 = qsq[:, None] - 2.0 * ip + cn
+    order = jnp.argsort(d2, axis=1)
+    return (jnp.take_along_axis(d2, order, axis=1),
+            jnp.take_along_axis(cand, order, axis=1))
+
+
 def assign_top1(queries: jax.Array, points: jax.Array, block: int = 65536,
                 precision=None, point_sqnorms: jax.Array | None = None):
     """Nearest-point id for each query (the reference's `assign`,

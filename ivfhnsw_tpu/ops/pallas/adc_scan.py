@@ -590,7 +590,13 @@ def _adc_kernel_min(tl_smem, luts_ref, tiles_hbm, out_ref, rows, acc,
     tile_j = jnp.where(lane_ids == jax.lax.rem(j, SPB_C),
                        minima[:, None], jnp.inf)
     acc[:, :] = jnp.minimum(acc[:, :], tile_j)
-    out_ref[0, 0] = acc[:, :]
+
+    # Flush once per window (or at the grid tail) — a per-step 4 KB store
+    # would cost more than the wide engine's output it replaces.
+    @pl.when(jnp.logical_or(jax.lax.rem(j, SPB_C) == SPB_C - 1,
+                            j == nsteps - 1))
+    def _():
+        out_ref[0, 0] = acc[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -599,13 +605,16 @@ def adc_scan_tiles_min(luts_ext, chunk_tile, chunk_len, tiles,
     """Phase-1 chunk scan: per-chunk masked minima [B, nch] (raw — caller
     adds chunk_bias and masks padding slots)."""
     B, nch = chunk_tile.shape
-    blk_ch = SPB_C * CPS                   # 1024 chunk minima per out tile
-    if nch % blk_ch:
-        pad = blk_ch - nch % blk_ch
+    # Schedule pads only to CPS (SMEM is 1 MB; padding to whole out tiles
+    # would 18x the prefetched schedule at small nch). The FINAL out tile
+    # may cover fewer than SPB_C steps — its untouched lanes stay at the
+    # +inf the window reset wrote.
+    if nch % CPS:
+        pad = CPS - nch % CPS
         chunk_tile = jnp.pad(chunk_tile, ((0, 0), (0, pad)))
         chunk_len = jnp.pad(chunk_len, ((0, 0), (0, pad)))
     nch_p = chunk_tile.shape[1]
-    nblk = nch_p // blk_ch
+    nblk = -(-(nch_p // CPS) // SPB_C)
     tl = chunk_tile * TL_PACK + chunk_len
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -633,9 +642,9 @@ def adc_scan_tiles_min(luts_ext, chunk_tile, chunk_len, tiles,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(tl, luts_ext, tiles)
-    # chunk c sits at (block c//1024, sublane (c%1024)%8... i.e. sublane
-    # c%8, lane (c//8)%128): invert with a transpose.
-    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(B, nch_p)
+    # chunk c sits at (block c//1024, sublane c%8, lane (c//8)%128):
+    # invert with a transpose.
+    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(B, nblk * SPB_C * CPS)
     return out[:, :nch]
 
 
@@ -732,7 +741,11 @@ def _adc_kernel_quad_min(qtl_smem, luts_ref, qtiles_hbm, out_ref, rows,
                     jnp.where(sub_ids == s0 + 1, qmin[1], jnp.inf))
     tile_j = jnp.where(lane_ids == ln_q, col, jnp.inf)
     acc[:, :] = jnp.minimum(acc[:, :], tile_j)
-    out_ref[0, 0] = acc[:, :]
+
+    @pl.when(jnp.logical_or(jax.lax.rem(j, SPB_Q) == SPB_Q - 1,
+                            j == nsteps - 1))
+    def _():
+        out_ref[0, 0] = acc[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -740,13 +753,12 @@ def adc_scan_quad_min(luts_quad, qtile, qlen, qtiles,
                       interpret: bool = False):
     """Phase-1 quad scan: per-quad masked minima [B, nquad] (raw)."""
     B, nquad = qtile.shape
-    blk_q = SPB_Q * CPSQ                   # 1024 quad minima per out tile
-    if nquad % blk_q:
-        pad = blk_q - nquad % blk_q
+    if nquad % CPSQ:
+        pad = CPSQ - nquad % CPSQ
         qtile = jnp.pad(qtile, ((0, 0), (0, pad)))
         qlen = jnp.pad(qlen, ((0, 0), (0, pad)))
     nq_p = qtile.shape[1]
-    nblk = nq_p // blk_q
+    nblk = -(-(nq_p // CPSQ) // SPB_Q)
     qtl = qtile * RTL_PACK + qlen
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -774,7 +786,7 @@ def adc_scan_quad_min(luts_quad, qtile, qlen, qtiles,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(qtl, luts_quad, qtiles)
-    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(B, nq_p)
+    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(B, nblk * SPB_Q * CPSQ)
     return out[:, :nquad]
 
 
@@ -877,11 +889,20 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     layout selects the HBM tile format (must match the ``tiles`` /
     ``tile_offsets`` arrays): "chunk" = [NT, 24, 256] per-chunk tiles,
     "quad" = [NQT, 72, 256] quad tiles (nch counts RCHUNK slots)."""
-    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
-    qc_dists, probes = streaming_topk_l2(
-        queries, centroids, nprobe, block=coarse_block,
-        point_sqnorms=centroid_norms, precision=precision,
-        approx=coarse_approx, recall_target=coarse_recall)
+    from ivfhnsw_tpu.ops.distances import (coarse_select_rerank,
+                                           streaming_topk_l2)
+    if coarse_approx:
+        # bf16 scoring for the candidate cut + exact re-rank of the nprobe
+        # winners — a HIGHEST-precision full sweep at nc=2^17 measured
+        # 31 us/q, ~10x this path; see coarse_select_rerank.
+        qc_dists, probes = coarse_select_rerank(
+            queries, centroids, nprobe, block=coarse_block,
+            point_sqnorms=centroid_norms, recall_target=coarse_recall,
+            precision=precision)
+    else:
+        qc_dists, probes = streaming_topk_l2(
+            queries, centroids, nprobe, block=coarse_block,
+            point_sqnorms=centroid_norms, precision=precision)
     q_rot = queries @ R.T if use_opq else queries
     luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
                               precision=precision)
