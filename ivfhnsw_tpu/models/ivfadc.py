@@ -388,8 +388,15 @@ class IVFADCIndex:
     def _resolve_two_phase(self, params: SearchParams, nprobe: int) -> bool:
         if self.scan_topk != "auto":
             return self.scan_topk == "twophase"
-        gran = 1024 if self._resolve_layout() == "quad" else 256
-        return self._pallas_nch(params, nprobe) * gran > 32768
+        # Measured (v5e, round 3): two-phase loses end-to-end at BOTH the
+        # primary point (15.6 vs 13.3 us/q) and canonical geometry (135 vs
+        # 102) — phase 2's k extra unit-DMAs cost more than the wide
+        # output + big-top-k it eliminates, because component timing shows
+        # coarse selection and schedule metadata, not the wide output,
+        # dominate at large nc. Auto therefore resolves to the wide engine;
+        # "twophase" stays available as an exact opt-in for geometries with
+        # very large masked outputs and cheap coarse stages.
+        return False
 
     def _resolve_layout(self) -> str:
         """Pick the Pallas tile layout. "auto": quad when the average
@@ -458,6 +465,24 @@ class IVFADCIndex:
                 tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
                 tiled.list_sizes)
 
+    def _ext_table(self):
+        """[nc, d+3] = [centroid | sqnorm | list_size | tile_offset] — one
+        row gather serves the coarse rerank and the scan schedule (see
+        ops.distances.coarse_select_rerank_ext). Cached on the tiled store
+        (invalidated with it)."""
+        store = self._ensure_store()
+        tiled = (store.quad() if self._resolve_layout() == "quad"
+                 else store.tiled())
+        ext = getattr(tiled, "_ext", None)
+        if ext is None:
+            ext = jnp.concatenate(
+                [self.centroids, self.centroid_norms[:, None],
+                 tiled.list_sizes.astype(jnp.float32)[:, None],
+                 tiled.tile_offsets[:self.nc].astype(jnp.float32)[:, None]],
+                axis=1)
+            tiled._ext = ext
+        return ext
+
     def _search_pallas(self, blk, params: SearchParams, nprobe: int,
                        interpret: bool):
         """Fused-kernel search path (ops.pallas.adc_scan), one XLA launch."""
@@ -471,7 +496,8 @@ class IVFADCIndex:
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
             coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
-            two_phase=self._resolve_two_phase(params, nprobe))
+            two_phase=self._resolve_two_phase(params, nprobe),
+            ext_table=self._ext_table())
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
@@ -590,7 +616,8 @@ class IVFADCIndex:
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
             coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
-            two_phase=self._resolve_two_phase(params, nprobe))
+            two_phase=self._resolve_two_phase(params, nprobe),
+            ext_table=self._ext_table())
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):

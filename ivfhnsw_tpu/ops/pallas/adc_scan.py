@@ -114,9 +114,19 @@ def _probe_schedule(probes, qc_dists, centroid_norms, tile_offsets,
                       centroid_norms], axis=1)                  # [nc, 3]
     pack = jnp.pad(pack, ((0, 0), (0, 5)))
     g = jnp.take(pack, probes, axis=0)                          # [B, P, 8]
-    sizes = g[..., 0].astype(jnp.int32)
-    tile_off = g[..., 1]
-    term1 = qc_dists - g[..., 2]                                # [B, P]
+    return _probe_schedule_fields(g[..., 0], g[..., 1],
+                                  qc_dists - g[..., 2], max_codes, n, gran)
+
+
+def _probe_schedule_fields(sizes_f, tile_off_f, term1, max_codes, n: int,
+                           gran: int):
+    """Schedule expansion from PRE-GATHERED per-probe fields (f32; see
+    coarse_select_rerank_ext, which serves them from the same row gather
+    as the coarse rerank — separate gathers measured ~25 us/q at
+    nc=2^17)."""
+    B, P = term1.shape
+    sizes = sizes_f.astype(jnp.int32)
+    tile_off = tile_off_f
 
     cum_before = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(sizes, axis=1)[:, :-1]],
@@ -849,7 +859,8 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        coarse_approx: bool = False,
                        coarse_recall: float = 0.95,
                        layout: str = "chunk",
-                       two_phase: bool = False):
+                       two_phase: bool = False,
+                       ext_table=None):
     """Whole-query-set search in ONE launch: queries [G, B, d] are processed
     by lax.map over G sub-batches of the fused core. Remote-tunnel dispatch
     costs ~ms per launch, so one mega-launch at 8k+ queries is worth
@@ -861,7 +872,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
             nprobe=nprobe, k=k, nch=nch, coarse_block=coarse_block,
             use_opq=use_opq, interpret=interpret, precision=precision,
             coarse_approx=coarse_approx, coarse_recall=coarse_recall,
-            layout=layout, two_phase=two_phase)
+            layout=layout, two_phase=two_phase, ext_table=ext_table)
 
     return jax.lax.map(one, queries)
 
@@ -880,7 +891,8 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        coarse_approx: bool = False,
                        coarse_recall: float = 0.95,
                        layout: str = "chunk",
-                       two_phase: bool = False):
+                       two_phase: bool = False,
+                       ext_table=None):
     """End-to-end IVFADC search step on the Pallas engine, fused into ONE
     XLA program (per-op dispatch through the remote-TPU tunnel costs ~ms, so
     the whole coarse -> LUT -> schedule -> scan -> top-k chain must be a
@@ -890,34 +902,42 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     ``tile_offsets`` arrays): "chunk" = [NT, 24, 256] per-chunk tiles,
     "quad" = [NQT, 72, 256] quad tiles (nch counts RCHUNK slots)."""
     from ivfhnsw_tpu.ops.distances import (coarse_select_rerank,
+                                           coarse_select_rerank_ext,
                                            streaming_topk_l2)
-    if coarse_approx:
-        # bf16 scoring for the candidate cut + exact re-rank of the nprobe
-        # winners — a HIGHEST-precision full sweep at nc=2^17 measured
-        # 31 us/q, ~10x this path; see coarse_select_rerank.
-        qc_dists, probes = coarse_select_rerank(
-            queries, centroids, nprobe, block=coarse_block,
+    gran = RCHUNK if layout == "quad" else CHUNK
+    if coarse_approx and ext_table is not None:
+        # Fused fast path: bf16 candidate cut + ONE extended-row gather
+        # serving the exact rerank AND the schedule fields.
+        qc_dists, probes, term1, sz_f, toff_f = coarse_select_rerank_ext(
+            queries, centroids, ext_table, nprobe, block=coarse_block,
             point_sqnorms=centroid_norms, recall_target=coarse_recall,
             precision=precision)
+        st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
+                                            max_codes, nch, gran)
     else:
-        qc_dists, probes = streaming_topk_l2(
-            queries, centroids, nprobe, block=coarse_block,
-            point_sqnorms=centroid_norms, precision=precision)
+        if coarse_approx:
+            qc_dists, probes = coarse_select_rerank(
+                queries, centroids, nprobe, block=coarse_block,
+                point_sqnorms=centroid_norms, recall_target=coarse_recall,
+                precision=precision)
+        else:
+            qc_dists, probes = streaming_topk_l2(
+                queries, centroids, nprobe, block=coarse_block,
+                point_sqnorms=centroid_norms, precision=precision)
+        st, sl, sb = _probe_schedule(probes, qc_dists, centroid_norms,
+                                     tile_offsets, list_sizes, max_codes,
+                                     nch, gran)
     q_rot = queries @ R.T if use_opq else queries
     luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
                               precision=precision)
     if layout == "quad":
-        qt, ql, qb = quad_metadata(probes, qc_dists, centroid_norms,
-                                   tile_offsets, list_sizes, max_codes, nch)
         if two_phase:
-            return adc_search_quad_2p(luts_ext, qt, ql, qb, tiles,
+            return adc_search_quad_2p(luts_ext, st, sl, sb, tiles,
                                       ids_aligned, k, interpret=interpret)
-        return adc_search_quad(luts_ext, qt, ql, qb, tiles, ids_aligned, k,
+        return adc_search_quad(luts_ext, st, sl, sb, tiles, ids_aligned, k,
                                interpret=interpret)
-    ct, cl, cb = chunk_metadata(probes, qc_dists, centroid_norms,
-                                tile_offsets, list_sizes, max_codes, nch)
     if two_phase:
-        return adc_search_tiles_2p(luts_ext, ct, cl, cb, tiles, ids_aligned,
+        return adc_search_tiles_2p(luts_ext, st, sl, sb, tiles, ids_aligned,
                                    k, interpret=interpret)
-    return adc_search_tiles(luts_ext, ct, cl, cb, tiles, ids_aligned, k,
+    return adc_search_tiles(luts_ext, st, sl, sb, tiles, ids_aligned, k,
                             interpret=interpret)
