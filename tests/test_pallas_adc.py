@@ -207,3 +207,25 @@ def test_two_phase_small_k_edge(built):
             assert_same(d1, l1, d2, l2)
     finally:
         idx.engine, idx.scan_layout, idx.scan_topk = prev
+
+
+@pytest.mark.parametrize("layout", ["chunk", "quad"])
+def test_coarse_approx_ext_path(built, layout):
+    """coarse_mode='approx' routes through coarse_select_rerank_ext (one
+    extended-table gather serving rerank + schedule). With recall_target
+    ~1.0 on a small centroid set the probe cut matches exact coarse, so
+    results must agree with the exact-coarse engine."""
+    idx, queries = built
+    prev = idx.engine, idx.scan_layout
+    try:
+        idx.engine = "pallas_interpret"
+        idx.scan_layout = layout
+        p_ex = SearchParams(k=10, nprobe=8, max_codes=2000,
+                            coarse_mode="exact")
+        d1, l1 = idx.search(queries, p_ex)
+        p_ap = SearchParams(k=10, nprobe=8, max_codes=2000,
+                            coarse_mode="approx", coarse_recall=1.0)
+        d2, l2 = idx.search(queries, p_ap)
+    finally:
+        idx.engine, idx.scan_layout = prev
+    assert_same(d1, l1, d2, l2)
