@@ -496,8 +496,7 @@ class IVFADCIndex:
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
             coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
-            two_phase=self._resolve_two_phase(params, nprobe),
-            ext_table=self._ext_table())
+            two_phase=self._resolve_two_phase(params, nprobe))
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
@@ -616,8 +615,7 @@ class IVFADCIndex:
             use_opq=self.do_opq, interpret=interpret,
             coarse_approx=self._coarse_approx(params),
             coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
-            two_phase=self._resolve_two_phase(params, nprobe),
-            ext_table=self._ext_table())
+            two_phase=self._resolve_two_phase(params, nprobe))
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):

@@ -905,9 +905,19 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                                            coarse_select_rerank_ext,
                                            streaming_topk_l2)
     gran = RCHUNK if layout == "quad" else CHUNK
-    if coarse_approx and ext_table is not None:
-        # Fused fast path: bf16 candidate cut + ONE extended-row gather
-        # serving the exact rerank AND the schedule fields.
+    # Coarse selection: plain streaming approx_min_k. Two measured
+    # alternatives LOST end-to-end at nc=2^17/B=1024/nprobe=128 and are
+    # kept only as opt-in utilities (ops.distances):
+    #   - coarse_select_rerank (bf16 cut + exact rerank): approx_min_k's
+    #     REDUCTION, not matmul precision, is the 28 us/q cost (HIGHEST
+    #     29.8 vs default-precision 28.4), and the [B, P, d] centroid
+    #     gather adds ~28 us/q (TPU gathers cost ~220 ns/row regardless
+    #     of width).
+    #   - ext_table fusion (one [nc, d+3] gather serving rerank +
+    #     schedule): a 131-lane row gather is SLOWER than the schedule
+    #     builder's existing 8-lane pack gather; end-to-end 109 vs
+    #     102 us/q.
+    if ext_table is not None and coarse_approx:
         qc_dists, probes, term1, sz_f, toff_f = coarse_select_rerank_ext(
             queries, centroids, ext_table, nprobe, block=coarse_block,
             point_sqnorms=centroid_norms, recall_target=coarse_recall,
@@ -915,15 +925,10 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
         st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
                                             max_codes, nch, gran)
     else:
-        if coarse_approx:
-            qc_dists, probes = coarse_select_rerank(
-                queries, centroids, nprobe, block=coarse_block,
-                point_sqnorms=centroid_norms, recall_target=coarse_recall,
-                precision=precision)
-        else:
-            qc_dists, probes = streaming_topk_l2(
-                queries, centroids, nprobe, block=coarse_block,
-                point_sqnorms=centroid_norms, precision=precision)
+        qc_dists, probes = streaming_topk_l2(
+            queries, centroids, nprobe, block=coarse_block,
+            point_sqnorms=centroid_norms, precision=precision,
+            approx=coarse_approx, recall_target=coarse_recall)
         st, sl, sb = _probe_schedule(probes, qc_dists, centroid_norms,
                                      tile_offsets, list_sizes, max_codes,
                                      nch, gran)

@@ -254,19 +254,13 @@ def grouping_pallas_search_core(
         coarse_approx: bool = False, coarse_recall: float = 0.95):
     """Fused grouping search. sub_sizes [nc, nsubc] i32 subgroup sizes;
     tile_offsets [nc+1] group tile starts."""
-    from ivfhnsw_tpu.ops.distances import (coarse_select_rerank,
-                                           streaming_topk_l2)
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
     B = queries.shape[0]
 
-    if coarse_approx:
-        qc_dists, probes = coarse_select_rerank(
-            queries, centroids, nprobe, block=coarse_block,
-            point_sqnorms=centroid_norms, recall_target=coarse_recall,
-            precision=precision)
-    else:
-        qc_dists, probes = streaming_topk_l2(
-            queries, centroids, nprobe, block=coarse_block,
-            point_sqnorms=centroid_norms, precision=precision)
+    qc_dists, probes = streaming_topk_l2(
+        queries, centroids, nprobe, block=coarse_block,
+        point_sqnorms=centroid_norms, precision=precision,
+        approx=coarse_approx, recall_target=coarse_recall)
 
     p_nn = nn_idxs[probes]                                # [B, P, S]
     q_sq = jnp.sum(queries ** 2, axis=1)
