@@ -211,6 +211,52 @@ class IVFADCIndex:
             np.asarray(self.centroids), n_super=n_super, w=w,
             key=key if key is not None else jax.random.PRNGKey(0))
 
+    def enable_routed_coarse(self, w: int = 16, n_super: int | None = None,
+                             cap_factor: float = 1.5, key=None) -> None:
+        """Build the SEARCH-time two-level routing structure
+        (ops.routed_coarse.RoutedCoarse): probe selection via top-``w``
+        super blocks instead of a full-nc approx_min_k sweep, with the scan
+        schedule metadata folded into the same block gather. Used by the
+        Pallas engine when ``SearchParams.coarse_mode`` is "routed", or
+        "auto" with nc > 16384. Derived data — rebuild after ``read()``;
+        accuracy presumes mesoscale centroid structure (measure probe
+        overlap vs exact before adopting, as with enable_fast_assign)."""
+        from ivfhnsw_tpu.ops.routed_coarse import RoutedCoarse
+        if self.centroids is None:
+            raise ValueError("set_centroids first")
+        self._routed_coarse = RoutedCoarse(
+            np.asarray(self.centroids), n_super=n_super,
+            cap_factor=cap_factor,
+            key=key if key is not None else jax.random.PRNGKey(0))
+        self.routed_w = w
+
+    def _routed_for(self, params: SearchParams, nprobe: int):
+        """Resolve the routed-coarse arguments for one search call:
+        (routed_tuple, w) when active, else (None, 0). "auto" adopts
+        routing whenever the structure exists and the centroid set is
+        large enough that exact selection already gave way to approx."""
+        mode = getattr(params, "coarse_mode", "auto")
+        rc = getattr(self, "_routed_coarse", None)
+        if mode == "routed" and rc is None:
+            raise ValueError("coarse_mode='routed' requires "
+                             "enable_routed_coarse() first")
+        if rc is None or mode not in ("routed", "auto") or (
+                mode == "auto" and self.nc <= 16384):
+            return None, 0
+        w = min(getattr(self, "routed_w", 16), rc.n_super)
+        if w * rc.cap < nprobe:           # must cover nprobe candidates
+            w = min(-(-nprobe // rc.cap), rc.n_super)
+        store = self._ensure_store()
+        tiled = (store.quad() if self._resolve_layout() == "quad"
+                 else store.tiled())
+        cached = getattr(tiled, "_routed", None)
+        if cached is None or cached[0] is not rc:
+            table = rc.build_table(self.centroid_norms, tiled.list_sizes,
+                                   tiled.tile_offsets)
+            cached = (rc, (rc.supers, rc.super_sqn, table))
+            tiled._routed = cached
+        return cached[1], w
+
     def assign(self, x, batch: int | None = None) -> np.ndarray:
         """Nearest-centroid ids for x [n, d] (IndexIVF_HNSW.cpp:68-72), in
         streamed batches. Returns int32 [n]. The batch size is capped so the
@@ -487,6 +533,7 @@ class IVFADCIndex:
                        interpret: bool):
         """Fused-kernel search path (ops.pallas.adc_scan), one XLA launch."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
+        routed, rw = self._routed_for(params, nprobe)
         return pk.pallas_search_core(
             jnp.asarray(blk), *self._pallas_args(),
             jnp.int32(params.max_codes),
@@ -494,9 +541,10 @@ class IVFADCIndex:
             nch=self._pallas_nch(params, nprobe),
             coarse_block=self._coarse_block_for(len(blk)),
             use_opq=self.do_opq, interpret=interpret,
-            coarse_approx=self._coarse_approx(params),
+            coarse_approx=(not rw) and self._coarse_approx(params),
             coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
-            two_phase=self._resolve_two_phase(params, nprobe))
+            two_phase=self._resolve_two_phase(params, nprobe),
+            routed=routed, routed_w=rw)
 
     def search(self, queries, params: SearchParams | None = None,
                batch: int = 8192, trace: bool = False):
@@ -528,6 +576,7 @@ class IVFADCIndex:
             G = -(-nq // batch)
             qpad = np.zeros((G * batch, queries.shape[1]), np.float32)
             qpad[:nq] = queries
+            routed, rw = self._routed_for(params, nprobe)
             d, l = pk.pallas_search_many(
                 jnp.asarray(qpad.reshape(G, batch, -1)), *self._pallas_args(),
                 jnp.int32(params.max_codes),
@@ -535,8 +584,9 @@ class IVFADCIndex:
                 nch=self._pallas_nch(params, nprobe),
                 coarse_block=self._coarse_block_for(batch),
                 use_opq=self.do_opq,
-                coarse_approx=self._coarse_approx(params),
-                coarse_recall=params.coarse_recall, layout=self._resolve_layout())
+                coarse_approx=(not rw) and self._coarse_approx(params),
+                coarse_recall=params.coarse_recall,
+                layout=self._resolve_layout(), routed=routed, routed_w=rw)
             self.stats["queries"] += nq
             return (np.asarray(d).reshape(-1, params.k)[:nq],
                     np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))
@@ -608,14 +658,16 @@ class IVFADCIndex:
             while n % B:
                 B //= 2
             queries_dev = queries_dev.reshape(-1, B, queries_dev.shape[1])
+        routed, rw = self._routed_for(params, nprobe)
         return pk.pallas_search_many(
             queries_dev, *self._pallas_args(), jnp.int32(params.max_codes),
             nprobe=nprobe, k=params.k, nch=nch,
             coarse_block=self._coarse_block_for(queries_dev.shape[1]),
             use_opq=self.do_opq, interpret=interpret,
-            coarse_approx=self._coarse_approx(params),
+            coarse_approx=(not rw) and self._coarse_approx(params),
             coarse_recall=params.coarse_recall, layout=self._resolve_layout(),
-            two_phase=self._resolve_two_phase(params, nprobe))
+            two_phase=self._resolve_two_phase(params, nprobe),
+            routed=routed, routed_w=rw)
 
     def search_precomputed(self, queries, probes, qc_dists,
                            params: SearchParams):

@@ -849,7 +849,7 @@ def adc_search_quad_2p(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
                      "interpret", "precision", "coarse_approx",
-                     "coarse_recall", "layout", "two_phase"))
+                     "coarse_recall", "layout", "two_phase", "routed_w"))
 def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
@@ -860,7 +860,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        coarse_recall: float = 0.95,
                        layout: str = "chunk",
                        two_phase: bool = False,
-                       ext_table=None):
+                       ext_table=None, routed=None, routed_w: int = 0):
     """Whole-query-set search in ONE launch: queries [G, B, d] are processed
     by lax.map over G sub-batches of the fused core. Remote-tunnel dispatch
     costs ~ms per launch, so one mega-launch at 8k+ queries is worth
@@ -872,7 +872,8 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
             nprobe=nprobe, k=k, nch=nch, coarse_block=coarse_block,
             use_opq=use_opq, interpret=interpret, precision=precision,
             coarse_approx=coarse_approx, coarse_recall=coarse_recall,
-            layout=layout, two_phase=two_phase, ext_table=ext_table)
+            layout=layout, two_phase=two_phase, ext_table=ext_table,
+            routed=routed, routed_w=routed_w)
 
     return jax.lax.map(one, queries)
 
@@ -881,7 +882,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "coarse_block", "use_opq",
                      "interpret", "precision", "coarse_approx",
-                     "coarse_recall", "layout", "two_phase"))
+                     "coarse_recall", "layout", "two_phase", "routed_w"))
 def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        norm_centroids, R, tiles, ids_aligned, tile_offsets,
                        list_sizes, max_codes, *, nprobe: int, k: int,
@@ -892,7 +893,7 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        coarse_recall: float = 0.95,
                        layout: str = "chunk",
                        two_phase: bool = False,
-                       ext_table=None):
+                       ext_table=None, routed=None, routed_w: int = 0):
     """End-to-end IVFADC search step on the Pallas engine, fused into ONE
     XLA program (per-op dispatch through the remote-TPU tunnel costs ~ms, so
     the whole coarse -> LUT -> schedule -> scan -> top-k chain must be a
@@ -900,14 +901,20 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
 
     layout selects the HBM tile format (must match the ``tiles`` /
     ``tile_offsets`` arrays): "chunk" = [NT, 24, 256] per-chunk tiles,
-    "quad" = [NQT, 72, 256] quad tiles (nch counts RCHUNK slots)."""
+    "quad" = [NQT, 72, 256] quad tiles (nch counts RCHUNK slots).
+
+    routed = (supers, super_sqn, block_table) + routed_w > 0 selects the
+    two-level ROUTED coarse path (ops.routed_coarse): probe selection and
+    all schedule metadata come from w gathered super blocks — no full-nc
+    reduction and no per-probe pack gather at all."""
     from ivfhnsw_tpu.ops.distances import (coarse_select_rerank,
                                            coarse_select_rerank_ext,
                                            streaming_topk_l2)
     gran = RCHUNK if layout == "quad" else CHUNK
-    # Coarse selection: plain streaming approx_min_k. Two measured
-    # alternatives LOST end-to-end at nc=2^17/B=1024/nprobe=128 and are
-    # kept only as opt-in utilities (ops.distances):
+    # Coarse selection: plain streaming approx_min_k, or the routed
+    # two-level path when a routing structure is supplied. Two further
+    # measured alternatives LOST end-to-end at nc=2^17/B=1024/nprobe=128
+    # and are kept only as opt-in utilities (ops.distances):
     #   - coarse_select_rerank (bf16 cut + exact rerank): approx_min_k's
     #     REDUCTION, not matmul precision, is the 28 us/q cost (HIGHEST
     #     29.8 vs default-precision 28.4), and the [B, P, d] centroid
@@ -917,7 +924,13 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     #     schedule): a 131-lane row gather is SLOWER than the schedule
     #     builder's existing 8-lane pack gather; end-to-end 109 vs
     #     102 us/q.
-    if ext_table is not None and coarse_approx:
+    if routed is not None and routed_w > 0:
+        from ivfhnsw_tpu.ops.routed_coarse import routed_select_ext
+        qc_dists, probes, term1, sz_f, toff_f = routed_select_ext(
+            queries, *routed, nprobe=nprobe, w=routed_w)
+        st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
+                                            max_codes, nch, gran)
+    elif ext_table is not None and coarse_approx:
         qc_dists, probes, term1, sz_f, toff_f = coarse_select_rerank_ext(
             queries, centroids, ext_table, nprobe, block=coarse_block,
             point_sqnorms=centroid_norms, recall_target=coarse_recall,

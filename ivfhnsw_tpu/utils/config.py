@@ -73,9 +73,11 @@ class SearchParams:
     # Coarse probe selection. "exact" = full lax.top_k over all centroids;
     # "approx" = jax.lax.approx_min_k (TPU-native partial reduction; the
     # analog of the reference's approximate HNSW probe selection, whose
-    # efSearch is likewise a recall knob); "auto" = exact for nc <= 16384,
-    # approx above (measured on v5e at nc=2^17: exact top-k costs 59 us/q
-    # vs 7.6 approx at coarse_recall=0.95 with 97% probe-set overlap).
+    # efSearch is likewise a recall knob); "routed" = two-level super-block
+    # routing (ops.routed_coarse — requires index.enable_routed_coarse());
+    # "auto" = exact for nc <= 16384, above that routed when the structure
+    # exists else approx (measured on v5e at nc=2^17: exact top-k costs
+    # 59 us/q vs 7.6 approx at coarse_recall=0.95 with 97% overlap).
     coarse_mode: str = "auto"
     coarse_recall: float = 0.95  # approx_min_k recall target
 
