@@ -1001,6 +1001,93 @@ def coarse_overlap_control(idx, queries, nprobe: int, n_ctl: int = 64):
     return float(inter)
 
 
+def routed_setup(idx, queries, nprobe: int, sdir: str, n_ctl: int = 256,
+                 target: float = 0.97):
+    """Enable ROUTED two-level coarse selection (ops.routed_coarse) on a
+    cached index and adaptively pick ``w`` (supers probed per query — the
+    efSearch analog): the smallest of (16, 32, 64) whose probe-set overlap
+    vs the exact sweep reaches ``target`` on a query subset. The routing
+    structure (k-means supers + tight partition) and the chosen {w,
+    overlap} persist in ``sdir`` so reruns skip both the k-means and the
+    sweep. Returns (w, overlap)."""
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    from ivfhnsw_tpu.ops.routed_coarse import routed_select_ext
+    from ivfhnsw_tpu import SearchParams
+
+    p_npz = os.path.join(sdir, "routed.npz")
+    p_json = os.path.join(sdir, "routed.json")
+    idx.enable_routed_coarse(key=jax.random.PRNGKey(90), cache_path=p_npz)
+    if os.path.exists(p_json):
+        with open(p_json) as f:
+            d = json.load(f)
+        if d["w"] == 0:                  # cached verdict: routing too lossy
+            idx._routed_coarse = None
+        else:
+            idx.routed_w = d["w"]
+        return d["w"], d["overlap"]
+
+    q = jnp.asarray(queries[:n_ctl])
+    _, exact = streaming_topk_l2(q, idx.centroids, nprobe,
+                                 block=idx._coarse_block_for(n_ctl),
+                                 point_sqnorms=idx.centroid_norms,
+                                 precision=jax.lax.Precision.HIGHEST)
+    ex = np.asarray(exact)
+    sp = SearchParams(nprobe=nprobe, coarse_mode="routed")
+    w = overlap = None
+    for w_try in (16, 32, 64):
+        idx.routed_w = w_try
+        routed, rw = idx._routed_for(sp, nprobe)
+        _, probes, *_ = routed_select_ext(q, *routed, nprobe=nprobe, w=rw)
+        pr = np.asarray(probes)
+        ov = float(np.mean([np.intersect1d(ex[i], pr[i]).size / nprobe
+                            for i in range(n_ctl)]))
+        log(f"  routed coarse w={rw}: probe overlap {ov:.4f}")
+        w, overlap = w_try, ov
+        if ov >= target:
+            break
+    if overlap < 0.95:                   # hard floor: routing too lossy
+        log(f"  routed coarse overlap {overlap:.4f} < 0.95 even at w={w}; "
+            "falling back to approx coarse")
+        idx._routed_coarse = None
+        w = 0
+    else:
+        idx.routed_w = w
+    with open(p_json, "w") as f:
+        json.dump({"w": w, "overlap": round(overlap, 4)}, f)
+    return w, overlap
+
+
+def recall_decomposition(idx, queries, gt, nprobe: int, max_codes: int,
+                         path: str, ks=(1, 10)):
+    """4-way recall-loss decomposition on a cached index: {auto(=routed/
+    approx), exact} coarse x {max_codes, unlimited} budget — attributes any
+    ceiling gap between probe selection and budget truncation (VERDICT r2
+    item 3). Exists-gated artifact at ``path``."""
+    from ivfhnsw_tpu import SearchParams
+    from ivfhnsw_tpu.utils.recall import recall_at_k
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    out = {}
+    for name, (cm, mcv) in {
+            "auto_budget": ("auto", max_codes),
+            "exact_budget": ("exact", max_codes),
+            "auto_unlimited": ("auto", 0),
+            "exact_unlimited": ("exact", 0)}.items():
+        p = SearchParams(k=max(ks), nprobe=nprobe, max_codes=mcv,
+                         coarse_mode=cm)
+        _, l = idx.search(queries, p, batch=256)
+        r = recall_at_k(l, gt, ks=ks)
+        out[name] = {str(kk): round(r[kk], 4) for kk in ks}
+        log(f"  decomposition {name}: " + " ".join(
+            f"R@{kk}={r[kk]:.4f}" for kk in ks))
+    with open(path, "w") as f:
+        json.dump(out, f)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1229,10 +1316,18 @@ def main():
     try:
         log("scale2: build/load ...")
         s2idx, s2q, s2gt, s2meta = build_scale2(key)
+        log("scale2: routed coarse setup ...")
+        s2_w, s2_ovl = routed_setup(s2idx, s2q, S2_NPROBE,
+                                    os.path.join(CACHE, "scale2"))
         sp2 = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC)
         log("scale2: warmup + timed runs ...")
         s2_qps, s2_labels = timed_qps(s2idx, s2q, sp2, runs=2, reshape=None,
                                       depth=2)
+        log("scale2: approx-coarse comparison run ...")
+        sp2_ap = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC,
+                              coarse_mode="approx")
+        s2_qps_ap, _ = timed_qps(s2idx, s2q, sp2_ap, runs=1, reshape=None,
+                                 depth=2)
         s2rec = recall_at_k(s2_labels, s2gt, ks=(1, 10))
         sp2_100 = SearchParams(k=100, nprobe=S2_NPROBE, max_codes=S2_MC)
         _, s2l100 = s2idx.search(s2q, sp2_100, batch=256)
@@ -1260,20 +1355,26 @@ def main():
             "scale2_ceiling_at_100": round(s2ceil.get(100, 0.0), 4),
             "scale2_build_seconds": s2meta["build_seconds"],
             "scale2_routed_match_rate": s2meta["routed_match_rate"],
+            "scale2_coarse": "routed" if s2_w else "approx",
+            "scale2_routed_w": s2_w,
+            "scale2_probe_overlap": round(s2_ovl, 4),
+            "scale2_us_per_query_approx_coarse": round(1e6 / s2_qps_ap, 2),
         })
-        # Recall-loss decomposition (approx-vs-exact coarse x budgeted-vs-
-        # unlimited scan), measured on the cached index: see
-        # .bench_cache/scale2/decomposition.json — all four controls agree
-        # to the last digit (R@1=0.0293 = the 1024-query ceiling), i.e.
-        # probe selection and the 100k budget each cost zero recall here.
-        p_dec = os.path.join(CACHE, "scale2", "decomposition.json")
-        if os.path.exists(p_dec):
-            with open(p_dec) as f:
-                dec = json.load(f)
+        # Recall-loss decomposition ({auto=routed, exact} coarse x
+        # {100k, unlimited} budget), measured on the cached index —
+        # attributes any ceiling gap between probe selection and budget
+        # truncation (r2: all four controls agreed exactly).
+        try:
+            log("scale2: recall decomposition ...")
+            dec = recall_decomposition(
+                s2idx, s2q, s2gt, S2_NPROBE, S2_MC,
+                os.path.join(CACHE, "scale2", "decomposition.json"))
             result["scale2_recall_exact_coarse_at_1"] = (
-                dec["exact_mc100k"]["1"])
+                dec["exact_budget"]["1"])
             result["scale2_recall_unlimited_at_1"] = (
                 dec["exact_unlimited"]["1"])
+        except Exception as e:
+            log(f"scale2 decomposition failed: {type(e).__name__}: {e}")
     except Exception as e:
         log(f"scale2 bench failed: {type(e).__name__}: {e}")
         result["scale2_error"] = str(e)[:200]
@@ -1316,10 +1417,18 @@ def main():
     try:
         log("scale3: build/load ...")
         s3idx, s3q, s3gt, s3meta = build_scale3(key)
+        log("scale3: routed coarse setup ...")
+        s3_w, s3_ovl = routed_setup(s3idx, s3q, S3_NPROBE,
+                                    os.path.join(CACHE, "scale3"))
         sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC)
         log("scale3: warmup + timed runs ...")
         s3_qps, s3_labels = timed_qps(s3idx, s3q, sp3, runs=2, reshape=None,
                                       depth=2)
+        log("scale3: approx-coarse comparison run ...")
+        sp3_ap = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,
+                              coarse_mode="approx")
+        s3_qps_ap, _ = timed_qps(s3idx, s3q, sp3_ap, runs=1, reshape=None,
+                                 depth=2)
         s3rec = recall_at_k(s3_labels, s3gt, ks=(1, 10))
         sp3_100 = SearchParams(k=100, nprobe=S3_NPROBE, max_codes=S3_MC)
         _, s3l100 = s3idx.search(s3q, sp3_100, batch=256)
@@ -1363,7 +1472,22 @@ def main():
             "scale3_write_seconds": s3meta.get("write_seconds"),
             "scale3_read_seconds": s3meta.get("read_seconds"),
             "scale3_coarse_overlap_at_nprobe128": round(ovl, 4),
+            "scale3_coarse": "routed" if s3_w else "approx",
+            "scale3_routed_w": s3_w,
+            "scale3_probe_overlap": round(s3_ovl, 4),
+            "scale3_us_per_query_approx_coarse": round(1e6 / s3_qps_ap, 2),
         })
+        try:
+            log("scale3: recall decomposition ...")
+            dec3 = recall_decomposition(
+                s3idx, s3q, s3gt, S3_NPROBE, S3_MC,
+                os.path.join(CACHE, "scale3", "decomposition.json"))
+            result["scale3_recall_exact_coarse_at_1"] = (
+                dec3["exact_budget"]["1"])
+            result["scale3_recall_unlimited_at_1"] = (
+                dec3["exact_unlimited"]["1"])
+        except Exception as e:
+            log(f"scale3 decomposition failed: {type(e).__name__}: {e}")
     except Exception as e:
         log(f"scale3 bench failed: {type(e).__name__}: {e}")
         result["scale3_error"] = str(e)[:200]

@@ -212,7 +212,8 @@ class IVFADCIndex:
             key=key if key is not None else jax.random.PRNGKey(0))
 
     def enable_routed_coarse(self, w: int = 16, n_super: int | None = None,
-                             cap_factor: float = 1.5, key=None) -> None:
+                             cap_factor: float = 1.5, key=None,
+                             cache_path: str | None = None) -> None:
         """Build the SEARCH-time two-level routing structure
         (ops.routed_coarse.RoutedCoarse): probe selection via top-``w``
         super blocks instead of a full-nc approx_min_k sweep, with the scan
@@ -224,10 +225,19 @@ class IVFADCIndex:
         from ivfhnsw_tpu.ops.routed_coarse import RoutedCoarse
         if self.centroids is None:
             raise ValueError("set_centroids first")
-        self._routed_coarse = RoutedCoarse(
-            np.asarray(self.centroids), n_super=n_super,
-            cap_factor=cap_factor,
-            key=key if key is not None else jax.random.PRNGKey(0))
+        import os
+        if cache_path is not None and os.path.exists(cache_path):
+            z = np.load(cache_path)
+            self._routed_coarse = RoutedCoarse.from_state(
+                np.asarray(self.centroids), z["supers"], z["members"],
+                z["valid"])
+        else:
+            self._routed_coarse = RoutedCoarse(
+                np.asarray(self.centroids), n_super=n_super,
+                cap_factor=cap_factor,
+                key=key if key is not None else jax.random.PRNGKey(0))
+            if cache_path is not None:
+                self._routed_coarse.save(cache_path)
         self.routed_w = w
 
     def _routed_for(self, params: SearchParams, nprobe: int):

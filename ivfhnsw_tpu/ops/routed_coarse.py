@@ -86,11 +86,13 @@ def greedy_partition(centroids, supers, cap: int, n_choice: int = 8):
 class RoutedCoarse:
     """Search-time routing structure over a centroid set.
 
-    Derived data (rebuildable from the centroids + key — not serialized):
-    super centroids from k-means over the centroid set, plus the tight
-    partition. The per-layout packed block table (which folds in list sizes
-    and tile offsets of a concrete tiled store) is built by
-    :meth:`build_table` and cached by the caller."""
+    Derived data (rebuildable from the centroids + key): super centroids
+    from k-means over the centroid set, plus the tight partition —
+    persistable via :meth:`save`/:meth:`from_state` (the k-means at
+    nc=2^20 is worth caching between serving restarts). The per-layout
+    packed block table (which folds in list sizes and tile offsets of a
+    concrete tiled store) is built by :meth:`build_table` and cached by
+    the caller."""
 
     def __init__(self, centroids, n_super: int | None = None,
                  cap_factor: float = 1.5, key=None, niter: int = 15,
@@ -101,15 +103,42 @@ class RoutedCoarse:
         n_super = n_super or max(16, min(nc // 2, nc // 64 or 16))
         key = key if key is not None else jax.random.PRNGKey(0)
         sup, _ = kmeans(key, centroids, n_super, niter=niter)
+        self._init_from(centroids, np.asarray(sup), None, None,
+                        cap_factor=cap_factor, n_choice=n_choice)
+
+    def _init_from(self, centroids, sup, members, valid, cap_factor=1.5,
+                   n_choice=8):
+        nc, d = centroids.shape
         self.supers = jnp.asarray(sup)
         self.super_sqn = jnp.sum(self.supers ** 2, axis=1)
-        self.n_super = n_super
-        self.cap = max(8, int(-(-cap_factor * nc // n_super)) + 7 & ~7)
-        self.members, self.valid = greedy_partition(
-            centroids, self.supers, self.cap, n_choice=n_choice)
+        self.n_super = int(sup.shape[0])
+        if members is None:
+            self.cap = max(8,
+                           int(-(-cap_factor * nc // self.n_super)) + 7 & ~7)
+            members, valid = greedy_partition(
+                centroids, self.supers, self.cap, n_choice=n_choice)
+        else:
+            self.cap = int(members.shape[1])
+        self.members, self.valid = members, valid
         self.d = d
         self.nc = nc
         self._centroids = centroids
+
+    @classmethod
+    def from_state(cls, centroids, supers, members, valid):
+        """Rebuild from :meth:`save`d arrays without re-running k-means /
+        the greedy partition (the centroids themselves live in the index
+        file and are passed in, not duplicated in the state file)."""
+        self = cls.__new__(cls)
+        self._init_from(np.asarray(centroids, np.float32),
+                        np.asarray(supers, np.float32),
+                        np.asarray(members, np.int32),
+                        np.asarray(valid, bool))
+        return self
+
+    def save(self, path: str) -> None:
+        np.savez(path, supers=np.asarray(self.supers, np.float32),
+                 members=self.members, valid=self.valid)
 
     def build_table(self, centroid_norms, list_sizes, tile_offsets):
         """[S, cap, d+4] packed block table for one tiled store layout:

@@ -159,3 +159,27 @@ def test_auto_mode_ignores_structure_at_small_nc():
     assert routed is None and rw == 0
     routed, rw = idx._routed_for(SearchParams(coarse_mode="routed"), 6)
     assert routed is not None and rw == 2
+
+
+def test_from_state_cache_roundtrip(tmp_path):
+    """enable_routed_coarse(cache_path=...) persists the derived routing
+    structure; a reload from the cache reproduces identical probe
+    selection without re-running k-means/partition."""
+    idx, base, rng = _tiny_index(nb=5000)
+    idx.engine = "pallas_interpret"
+    p = str(tmp_path / "routed.npz")
+    idx.enable_routed_coarse(w=4, n_super=8, cache_path=p)
+    sp = SearchParams(k=3, nprobe=6, max_codes=0, coarse_mode="routed")
+    q = base[:16]
+    d1, l1 = idx.search(q, sp)
+    rc1 = idx._routed_coarse
+    idx._routed_coarse = None
+    idx.enable_routed_coarse(w=4, n_super=8, cache_path=p)
+    rc2 = idx._routed_coarse
+    assert rc2 is not rc1
+    np.testing.assert_array_equal(rc2.members, rc1.members)
+    np.testing.assert_array_equal(rc2.valid, rc1.valid)
+    assert rc2.cap == rc1.cap and rc2.n_super == rc1.n_super
+    d2, l2 = idx.search(q, sp)
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1))
