@@ -258,7 +258,14 @@ def eval_search(index, cfg: RunConfig, ds, search_fn=None) -> dict:
     from ivfhnsw_tpu.utils.config import SearchParams
     p = cfg.search
     params = SearchParams(k=p.k, nprobe=p.nprobe, max_codes=p.max_codes,
-                          efSearch=p.efSearch, do_pruning=p.do_pruning)
+                          efSearch=p.efSearch, do_pruning=p.do_pruning,
+                          coarse_mode=p.coarse_mode,
+                          coarse_recall=p.coarse_recall)
+    if (p.coarse_mode == "routed"
+            and getattr(index, "_routed_coarse", None) is None
+            and hasattr(index, "enable_routed_coarse")):
+        log("building routed coarse structure (-coarse_mode routed) ...")
+        index.enable_routed_coarse()
     fn = search_fn or (lambda q: index.search(q, params))
     fn(ds.queries[:min(256, ds.nq)])  # warmup/compile
     w = StopW()

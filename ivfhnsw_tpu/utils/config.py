@@ -129,8 +129,10 @@ class RunConfig:
 _INDEX_FLAGS = {"d", "nc", "code_size", "nbits", "do_opq", "nsubc", "M",
                 "efConstruction"}
 _SEARCH_FLAGS = {"k", "nprobe", "max_codes", "efSearch", "do_pruning",
-                 "scan_budget"}
+                 "scan_budget", "coarse_mode", "coarse_recall"}
 _BOOL_FLAGS = {"do_opq", "do_pruning"}
+_STR_FLAGS = {"coarse_mode"}
+_FLOAT_FLAGS = {"coarse_recall"}
 
 
 def parse_args(argv: Optional[list[str]] = None) -> RunConfig:
@@ -166,4 +168,8 @@ def parse_args(argv: Optional[list[str]] = None) -> RunConfig:
 def _coerce(flag: str, val: str):
     if flag in _BOOL_FLAGS:
         return val.lower() in ("1", "true", "on", "yes")
+    if flag in _STR_FLAGS:
+        return val
+    if flag in _FLOAT_FLAGS:
+        return float(val)
     return int(val)
