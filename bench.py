@@ -1320,16 +1320,28 @@ def main():
         s2_w, s2_ovl = routed_setup(s2idx, s2q, S2_NPROBE,
                                     os.path.join(CACHE, "scale2"))
         sp2 = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC)
+        # Profile-guided scan budget: shrink the static slot allocation
+        # from the worst-case bound to this workload's measured max demand
+        # (no truncation for these queries — see scan_slot_demand).
+        s2_worst = s2idx._pallas_nch(sp2, S2_NPROBE)
+        s2_dem = int(s2idx.scan_slot_demand(s2q, sp2).max())
+        gran2 = 1024 if s2idx._resolve_layout() == "quad" else 256
+        log(f"scale2: scan slots worst-case {s2_worst} -> profiled "
+            f"{s2_dem}")
+        sp2 = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC,
+                           scan_budget=s2_dem * gran2)
         log("scale2: warmup + timed runs ...")
         s2_qps, s2_labels = timed_qps(s2idx, s2q, sp2, runs=2, reshape=None,
                                       depth=2)
         log("scale2: approx-coarse comparison run ...")
         sp2_ap = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC,
-                              coarse_mode="approx")
+                              coarse_mode="approx",
+                              scan_budget=s2_dem * gran2)
         s2_qps_ap, _ = timed_qps(s2idx, s2q, sp2_ap, runs=1, reshape=None,
                                  depth=2)
         s2rec = recall_at_k(s2_labels, s2gt, ks=(1, 10))
-        sp2_100 = SearchParams(k=100, nprobe=S2_NPROBE, max_codes=S2_MC)
+        sp2_100 = SearchParams(k=100, nprobe=S2_NPROBE, max_codes=S2_MC,
+                               scan_budget=s2_dem * gran2)
         _, s2l100 = s2idx.search(s2q, sp2_100, batch=256)
         s2r100 = recall_at_k(s2l100, s2gt, ks=(100,))
         p_ceil = os.path.join(CACHE, "scale2", "ceiling.json")
@@ -1359,6 +1371,8 @@ def main():
             "scale2_routed_w": s2_w,
             "scale2_probe_overlap": round(s2_ovl, 4),
             "scale2_us_per_query_approx_coarse": round(1e6 / s2_qps_ap, 2),
+            "scale2_scan_slots_worst_case": s2_worst,
+            "scale2_scan_slots_profiled": s2_dem,
         })
         # Recall-loss decomposition ({auto=routed, exact} coarse x
         # {100k, unlimited} budget), measured on the cached index —
@@ -1421,16 +1435,25 @@ def main():
         s3_w, s3_ovl = routed_setup(s3idx, s3q, S3_NPROBE,
                                     os.path.join(CACHE, "scale3"))
         sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC)
+        s3_worst = s3idx._pallas_nch(sp3, S3_NPROBE)
+        s3_dem = int(s3idx.scan_slot_demand(s3q, sp3).max())
+        gran3 = 1024 if s3idx._resolve_layout() == "quad" else 256
+        log(f"scale3: scan slots worst-case {s3_worst} -> profiled "
+            f"{s3_dem}")
+        sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,
+                           scan_budget=s3_dem * gran3)
         log("scale3: warmup + timed runs ...")
         s3_qps, s3_labels = timed_qps(s3idx, s3q, sp3, runs=2, reshape=None,
                                       depth=2)
         log("scale3: approx-coarse comparison run ...")
         sp3_ap = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,
-                              coarse_mode="approx")
+                              coarse_mode="approx",
+                              scan_budget=s3_dem * gran3)
         s3_qps_ap, _ = timed_qps(s3idx, s3q, sp3_ap, runs=1, reshape=None,
                                  depth=2)
         s3rec = recall_at_k(s3_labels, s3gt, ks=(1, 10))
-        sp3_100 = SearchParams(k=100, nprobe=S3_NPROBE, max_codes=S3_MC)
+        sp3_100 = SearchParams(k=100, nprobe=S3_NPROBE, max_codes=S3_MC,
+                               scan_budget=s3_dem * gran3)
         _, s3l100 = s3idx.search(s3q, sp3_100, batch=256)
         s3r100 = recall_at_k(s3l100, s3gt, ks=(100,))
         p_ceil3 = os.path.join(CACHE, "scale3", "ceiling.json")
@@ -1476,6 +1499,8 @@ def main():
             "scale3_routed_w": s3_w,
             "scale3_probe_overlap": round(s3_ovl, 4),
             "scale3_us_per_query_approx_coarse": round(1e6 / s3_qps_ap, 2),
+            "scale3_scan_slots_worst_case": s3_worst,
+            "scale3_scan_slots_profiled": s3_dem,
         })
         try:
             log("scale3: recall decomposition ...")

@@ -468,6 +468,16 @@ class IVFADCIndex:
         return "quad" if avg >= 768 else "chunk"
 
     def _pallas_nch(self, params: SearchParams, nprobe: int) -> int:
+        """Static scan-slot count for the Pallas engine. The default is the
+        WORST-CASE bound from the max_codes budget semantics; typical
+        demand is far lower (the +nprobe term covers per-probe rounding
+        that rarely all materializes), and every allocated slot costs
+        kernel time even when empty. ``params.scan_budget`` (padded lanes
+        per query, the same unit as the XLA path) caps it — use
+        :meth:`scan_slot_demand` to pick a profile-guided value; slots
+        beyond the cap drop the FARTHEST probes' tails (the schedule walks
+        probes in ascending coarse distance), the same approximation class
+        as the reference's max_codes truncation."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         store = self._ensure_store()
         mx = store.max_list_size()
@@ -476,7 +486,43 @@ class IVFADCIndex:
             nch = (params.max_codes + mx) // gran + nprobe + 1
         else:
             nch = nprobe * max(1, (mx + gran - 1) // gran)
+        if params.scan_budget is not None:
+            nch = min(nch, -(-params.scan_budget // gran))
         return max(nch, 1)
+
+    def scan_slot_demand(self, queries, params: SearchParams,
+                         batch: int = 1024) -> np.ndarray:
+        """Per-query Pallas scan-slot demand [nq] (gran-sized units the
+        schedule occupies under ``params``' nprobe/max_codes semantics).
+        Serving configs set ``params.scan_budget = max_demand * margin *
+        gran`` (lanes) to shrink the static slot allocation from the
+        worst-case bound to what the workload actually uses — measured
+        2-3x fewer slots at canonical geometry. Exact (no truncation) for
+        any query whose demand was <= the profiled max."""
+        from ivfhnsw_tpu.ops.pallas import adc_scan as pk
+        nprobe = min(params.nprobe or self.nprobe, self.nc)
+        gran = pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
+        store = self._ensure_store()
+        tiled = (store.quad() if self._resolve_layout() == "quad"
+                 else store.tiled())
+        sizes_all = np.asarray(tiled.list_sizes[:self.nc])
+        queries = np.asarray(queries, np.float32)
+        out = np.empty(queries.shape[0], np.int64)
+        for off in range(0, queries.shape[0], batch):
+            blk = jnp.asarray(queries[off:off + batch])
+            _, probes = streaming_topk_l2(
+                blk, self.centroids, nprobe, block=self._cb(),
+                point_sqnorms=self.centroid_norms,
+                precision=ARGMIN_PRECISION)
+            sz = sizes_all[np.asarray(probes)]            # [b, nprobe]
+            cum_before = np.concatenate(
+                [np.zeros((sz.shape[0], 1), np.int64),
+                 np.cumsum(sz, axis=1)[:, :-1]], axis=1)
+            included = ((params.max_codes or 0) <= 0) | (
+                cum_before < (params.max_codes or 0))
+            tcnt = np.where(included, -(-sz // gran), 0)
+            out[off:off + batch] = tcnt.sum(axis=1)
+        return out
 
     def _coarse_approx(self, params: SearchParams) -> bool:
         """Resolve the coarse probe-selection mode (SearchParams.coarse_mode):

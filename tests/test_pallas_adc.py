@@ -229,3 +229,53 @@ def test_coarse_approx_ext_path(built, layout):
     finally:
         idx.engine, idx.scan_layout = prev
     assert_same(d1, l1, d2, l2)
+
+
+def test_profiled_scan_budget_exact(built):
+    """scan_budget >= the profiled max demand caps the Pallas slot count
+    without changing ANY result (profile-guided serving config)."""
+    idx, queries = built
+    params = SearchParams(k=5, nprobe=8, max_codes=2000)
+    dem = idx.scan_slot_demand(queries, params)
+    assert dem.shape == (queries.shape[0],) and dem.min() > 0
+    worst = idx._pallas_nch(params, 8)
+    gran = 1024 if idx._resolve_layout() == "quad" else 256
+    capped = SearchParams(k=5, nprobe=8, max_codes=2000,
+                          scan_budget=int(dem.max()) * gran)
+    assert idx._pallas_nch(capped, 8) <= worst
+    assert idx._pallas_nch(capped, 8) >= int(dem.max())
+    prev = idx.engine
+    try:
+        idx.engine = "pallas_interpret"
+        d1, l1 = idx.search(queries, params)
+        d2, l2 = idx.search(queries, capped)
+    finally:
+        idx.engine = prev
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+
+
+def test_tiny_scan_budget_truncates_farthest(built):
+    """A scan_budget BELOW demand drops the farthest probes' tails: still
+    returns valid results, and every returned distance matches a distance
+    the unbudgeted search also found for that query (prefix property)."""
+    idx, queries = built
+    gran = 1024 if idx._resolve_layout() == "quad" else 256
+    full = SearchParams(k=5, nprobe=8, max_codes=0)
+    tiny = SearchParams(k=5, nprobe=8, max_codes=0, scan_budget=3 * gran)
+    assert idx._pallas_nch(tiny, 8) == 3
+    prev = idx.engine
+    try:
+        idx.engine = "pallas_interpret"
+        df, lf = idx.search(queries, full)
+        dt, lt = idx.search(queries, tiny)
+    finally:
+        idx.engine = prev
+    lt, dt = np.asarray(lt), np.asarray(dt)
+    df = np.asarray(df)
+    assert (lt >= -1).all()
+    assert np.isfinite(dt[lt >= 0]).all()
+    # Truncation only removes candidates: each query's best truncated
+    # distance can never beat its best full-scan distance.
+    assert (dt[:, 0] >= df[:, 0] - 1e-5).all()
