@@ -1211,6 +1211,15 @@ def main():
     # has no transfer cost either — its data sits in RAM. The dev-tunnel's
     # H2D is ~20 us/query of environment artifact, reported separately.)
     params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES)
+    # Profile-guided scan budget (zero truncation at the profiled max —
+    # scan_slot_demand docstring; the CPU baseline likewise only walks the
+    # lists it actually probes, so removing empty padded slots is fair).
+    p_worst = idx._pallas_nch(params, NPROBE)
+    p_dem = int(idx.scan_slot_demand(queries, params).max())
+    p_gran = 1024 if idx._resolve_layout() == "quad" else 256
+    log(f"primary: scan slots worst-case {p_worst} -> profiled {p_dem}")
+    params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
+                          scan_budget=p_dem * p_gran)
     log("primary: warmup + timed runs ...")
     qps, labels = timed_qps(idx, queries, params)
     _, _ = idx.search(queries, params)        # warm the host-path jit
@@ -1226,7 +1235,8 @@ def main():
 
     # --- R@100 + ceiling on a query subset
     log("recall@100 + exact-ADC ceiling ...")
-    p100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES)
+    p100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
+                        scan_budget=p_dem * p_gran)
     _, l100 = idx.search(queries[:CEIL_NQ], p100)
     r100 = recall_at_k(l100, gt[:CEIL_NQ], ks=(1, 10, 100))
     ceil = exact_adc_ceiling(idx, queries[:CEIL_NQ], gt, ks=(1, 10, 100))
@@ -1251,6 +1261,8 @@ def main():
         "recall_ceiling_at_1": round(ceil[1], 4),
         "recall_ceiling_at_10": round(ceil[10], 4),
         "recall_ceiling_at_100": round(ceil[100], 4),
+        "scan_slots_worst_case": p_worst,
+        "scan_slots_profiled": p_dem,
     })
 
     # --- grouping + OPQ (flagship config)
@@ -1259,11 +1271,15 @@ def main():
         gidx = build_grouping(key)
         gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                           do_pruning=True)
+        g_dem = int(gidx.scan_slot_demand(queries, gp).max())
+        log(f"grouping: scan chunks profiled {g_dem}")
+        gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
+                          do_pruning=True, scan_budget=g_dem * 256)
         log("grouping: warmup + timed runs (device-resident) ...")
         g_qps, gl = timed_qps(gidx, queries, gp, reshape=None)
         grec = recall_at_k(gl, gt, ks=(1, 10))
         gp100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
-                             do_pruning=True)
+                             do_pruning=True, scan_budget=g_dem * 256)
         _, gl100 = gidx.search(queries[:CEIL_NQ], gp100)
         gr100 = recall_at_k(gl100, gt[:CEIL_NQ], ks=(100,))
         gceil = exact_adc_ceiling_grouping(gidx, queries[:CEIL_NQ], gt,
@@ -1399,9 +1415,16 @@ def main():
         log("siftlike: build/load ...")
         slidx, slq, slgt = build_siftlike(key)
         log("siftlike: warmup + timed runs ...")
-        sl_qps, sll = timed_qps(slidx, slq, params)
+        sl_dem = int(slidx.scan_slot_demand(
+            slq, SearchParams(k=K, nprobe=NPROBE,
+                              max_codes=MAX_CODES)).max())
+        sl_gran = 1024 if slidx._resolve_layout() == "quad" else 256
+        params_sl = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
+                                 scan_budget=sl_dem * sl_gran)
+        sl_qps, sll = timed_qps(slidx, slq, params_sl)
         slrec = recall_at_k(sll, slgt, ks=(1, 10))
-        p100sl = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES)
+        p100sl = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
+                              scan_budget=sl_dem * sl_gran)
         _, sll100 = slidx.search(slq[:CEIL_NQ], p100sl)
         slr100 = recall_at_k(sll100, slgt[:CEIL_NQ], ks=(100,))
         slceil = exact_adc_ceiling(slidx, slq[:CEIL_NQ], slgt,

@@ -441,6 +441,42 @@ class IVFADCGroupingIndex(IVFADCIndex):
                                                    self.nc):].sum())
         return _round_up(max(budget, 128), 128)
 
+    def scan_slot_demand(self, queries, params: SearchParams,
+                         batch: int = 1024) -> np.ndarray:
+        """Per-query grouping-scan chunk demand [nq] — the profile-guided
+        analog of IVFADCIndex.scan_slot_demand. Safe upper bound: under
+        pruning (where the budget gate counts effective post-prune sizes)
+        every probed group is assumed included, so the profiled max never
+        truncates; without pruning the budget gate on full group sizes is
+        exact."""
+        from ivfhnsw_tpu.ops.distances import (ARGMIN_PRECISION,
+                                               streaming_topk_l2)
+        nprobe = min(params.nprobe or self.nprobe, self.nc)
+        store = self._ensure_store()
+        tiled = store.tiled_grouped(self.nsubc)
+        tile_counts = np.diff(
+            np.asarray(tiled.tile_offsets)).astype(np.int64)[:self.nc]
+        gsizes = np.asarray(tiled.list_sizes[:self.nc]).astype(np.int64)
+        queries = np.asarray(queries, np.float32)
+        out = np.empty(queries.shape[0], np.int64)
+        budgeted = (params.max_codes or 0) > 0 and not params.do_pruning
+        for off in range(0, queries.shape[0], batch):
+            blk = jnp.asarray(queries[off:off + batch])
+            _, probes = streaming_topk_l2(
+                blk, self.centroids, nprobe, block=self._cb(),
+                point_sqnorms=self.centroid_norms,
+                precision=ARGMIN_PRECISION)
+            pr = np.asarray(probes)
+            tc = tile_counts[pr]                           # [b, nprobe]
+            if budgeted:
+                sz = gsizes[pr]
+                cum_before = np.concatenate(
+                    [np.zeros((sz.shape[0], 1), np.int64),
+                     np.cumsum(sz, axis=1)[:, :-1]], axis=1)
+                tc = np.where(cum_before < params.max_codes, tc, 0)
+            out[off:off + batch] = tc.sum(axis=1)
+        return out
+
     def _grouping_pallas_setup(self, params: SearchParams, nprobe: int):
         from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
         store = self._ensure_store()
@@ -472,6 +508,9 @@ class IVFADCGroupingIndex(IVFADCIndex):
                       top_demand)
         else:
             nch = top_demand
+        if params.scan_budget is not None:
+            # Profile-guided cap (see scan_slot_demand): lanes -> chunks.
+            nch = min(nch, -(-params.scan_budget // gs.CHUNK))
         args = (self.centroids, self.centroid_norms, self.pq.codebooks,
                 self.norm_pq.centroids,
                 self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),

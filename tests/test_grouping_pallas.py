@@ -122,3 +122,25 @@ def test_grouping_search_device_matches_host(built):
     dd = np.asarray(dd).reshape(16, -1)
     ll = np.asarray(ll).reshape(16, -1)
     np.testing.assert_allclose(dd, d1[:16], rtol=1e-4, atol=1e-3)
+
+
+def test_grouping_profiled_scan_budget(built):
+    """A profiled scan_budget (scan_slot_demand max) caps the grouping
+    kernel's chunk allocation without changing any result, with and
+    without pruning."""
+    idx, queries = built
+    for extra in ({"do_pruning": True}, {}):
+        base_p = SearchParams(k=5, nprobe=8, max_codes=600, **extra)
+        dem = idx.scan_slot_demand(queries, base_p)
+        assert dem.min() > 0
+        capped = SearchParams(k=5, nprobe=8, max_codes=600,
+                              scan_budget=int(dem.max()) * 256, **extra)
+        idx.engine = "pallas_interpret"
+        try:
+            d1, l1 = idx.search(queries, base_p)
+            d2, l2 = idx.search(queries, capped)
+        finally:
+            idx.engine = "auto"
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
