@@ -800,8 +800,15 @@ def build_scale3(key):
 
     t_build = time.time()
     meta = {}
+    # Honest resumed-build accounting: centroid training time from a prior
+    # (crashed/partial) invocation carries into build_seconds.
+    p_prog = os.path.join(sdir, "build_progress.json")
+    prior_s = 0.0
     if os.path.exists(p_cent):
         idx.set_centroids(np.load(p_cent))
+        if os.path.exists(p_prog):
+            with open(p_prog) as f:
+                prior_s = float(json.load(f).get("centroid_seconds", 0.0))
     else:
         from ivfhnsw_tpu.ops.kmeans import hierarchical_seed
         from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
@@ -826,6 +833,9 @@ def build_scale3(key):
         idx.set_centroids(cents)
         np.save(p_cent, cents)
         del learn, seeds, cents
+        with open(p_prog, "w") as f:
+            json.dump({"centroid_seconds": round(time.time() - t_build, 1)},
+                      f)
         log(f"scale3: centroids ready ({time.time()-t_build:.0f}s)")
 
     log("scale3: routed assigner setup + match-rate gate ...")
@@ -881,7 +891,7 @@ def build_scale3(key):
     idx._fast_assigner = None
     release_gen()
     idx.finalize()
-    build_s = time.time() - t_build
+    build_s = time.time() - t_build + prior_s
 
     t0 = time.time()
     idx.write(p_idx)
@@ -1071,13 +1081,22 @@ def recall_decomposition(idx, queries, gt, nprobe: int, max_codes: int,
         with open(path) as f:
             return json.load(f)
     out = {}
+    # The unlimited controls need a profiled slot cap: max_codes=0 makes
+    # the worst-case bound nprobe * ceil(max_list/gran), whose SMEM
+    # schedule exceeds the compiler's limit at canonical geometry (the
+    # profiled cap covers every probed list in full, so the control stays
+    # exact — zero truncation).
+    dem0 = int(idx.scan_slot_demand(
+        queries, SearchParams(nprobe=nprobe, max_codes=0)).max())
+    gran = 1024 if idx._resolve_layout() == "quad" else 256
     for name, (cm, mcv) in {
             "auto_budget": ("auto", max_codes),
             "exact_budget": ("exact", max_codes),
             "auto_unlimited": ("auto", 0),
             "exact_unlimited": ("exact", 0)}.items():
         p = SearchParams(k=max(ks), nprobe=nprobe, max_codes=mcv,
-                         coarse_mode=cm)
+                         coarse_mode=cm,
+                         scan_budget=dem0 * gran if mcv == 0 else None)
         _, l = idx.search(queries, p, batch=256)
         r = recall_at_k(l, gt, ks=ks)
         out[name] = {str(kk): round(r[kk], 4) for kk in ks}
@@ -1265,6 +1284,8 @@ def main():
         "scan_slots_profiled": p_dem,
     })
 
+    idx.release_device()   # free HBM between stages (scale3 OOMed without)
+
     # --- grouping + OPQ (flagship config)
     try:
         log("grouping: build/load ...")
@@ -1297,6 +1318,10 @@ def main():
     except Exception as e:  # keep the primary result robust
         log(f"grouping bench failed: {type(e).__name__}: {e}")
         result["grouping_error"] = str(e)[:200]
+    try:
+        gidx.release_device()
+    except NameError:
+        pass
 
     # --- scale point (nc=2^17, 20M vectors, canonical nprobe)
     try:
@@ -1326,6 +1351,10 @@ def main():
     except Exception as e:
         log(f"scale bench failed: {type(e).__name__}: {e}")
         result["scale_error"] = str(e)[:200]
+    try:
+        sidx.release_device()
+    except NameError:
+        pass
 
     # --- scale2: canonical list economics (128M vectors, ~1000 codes/list,
     # nprobe=128, max_codes=100k, routed-assigner build)
@@ -1408,6 +1437,10 @@ def main():
     except Exception as e:
         log(f"scale2 bench failed: {type(e).__name__}: {e}")
         result["scale2_error"] = str(e)[:200]
+    try:
+        s2idx.release_device()
+    except NameError:
+        pass
 
     # --- siftlike: SIFT-faithful corpus — recall comparable to the
     # reference's SIFT1B regime, with same-corpus CPU-port relative parity
@@ -1449,6 +1482,10 @@ def main():
     except Exception as e:
         log(f"siftlike bench failed: {type(e).__name__}: {e}")
         result["siftlike_error"] = str(e)[:200]
+    try:
+        slidx.release_device()
+    except NameError:
+        pass
 
     # --- scale3: canonical centroid count nc=2^20 (reference geometry)
     try:
