@@ -416,6 +416,14 @@ class IVFADCIndex:
             self.finalize()
         return self.store
 
+    def release_device(self) -> None:
+        """Free this index's HBM footprint (tile layouts + array mirrors);
+        host state is untouched and everything re-uploads lazily on the
+        next device call. Call between stages when one process serves or
+        builds multiple large indexes."""
+        if self.store is not None:
+            self.store.release_device()
+
     # ------------------------------------------------------------------
     # Search
     # ------------------------------------------------------------------

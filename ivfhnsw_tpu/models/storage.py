@@ -88,6 +88,16 @@ class PostingListStore:
             self._dev[name] = jnp.asarray(getattr(self, name))
         return self._dev[name]
 
+    def release_device(self) -> None:
+        """Drop every device-resident mirror and cached tile layout (HBM
+        release when a process serves/builds several indexes — the bench's
+        multi-stage flow OOMed building scale3 with all prior stages'
+        tiles still resident). Canonical host arrays are untouched; the
+        next device consumer re-uploads lazily."""
+        self._dev = {}
+        self._tiled = None
+        self._quad = None
+
     @property
     def codes_d(self) -> jnp.ndarray:
         return self._mirror("codes")
