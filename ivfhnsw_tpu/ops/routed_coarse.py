@@ -61,10 +61,19 @@ def greedy_partition(centroids, supers, cap: int, n_choice: int = 8):
     if S * cap < nc:
         raise ValueError(f"total capacity {S}x{cap} < nc={nc}")
     n_choice = min(n_choice, S)
-    super_sqn = jnp.sum(jnp.asarray(supers) ** 2, axis=1)
-    cd, cids = streaming_topk_l2(jnp.asarray(centroids), jnp.asarray(supers),
-                                 n_choice, point_sqnorms=super_sqn)
-    cd, cids = np.asarray(cd), np.asarray(cids)
+    supers_d = jnp.asarray(supers)
+    super_sqn = jnp.sum(supers_d ** 2, axis=1)
+    # Chunk the query rows: one [nc, S] step is 64 GiB at nc=2^20, S=2^14
+    # (the scale3 routed-setup OOM). Cap the per-step score matrix ~1 GiB.
+    rows = max(1024, min(nc, (1 << 28) // max(S, 1)))
+    cd = np.empty((nc, n_choice), np.float32)
+    cids = np.empty((nc, n_choice), np.int32)
+    for off in range(0, nc, rows):
+        d_blk, i_blk = streaming_topk_l2(
+            jnp.asarray(centroids[off:off + rows]), supers_d, n_choice,
+            point_sqnorms=super_sqn)
+        cd[off:off + rows] = np.asarray(d_blk)
+        cids[off:off + rows] = np.asarray(i_blk)
     members = np.zeros((S, cap), np.int32)
     valid = np.zeros((S, cap), bool)
     fill = np.zeros(S, np.int64)
