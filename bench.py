@@ -1590,6 +1590,7 @@ def main():
             "build_1b_vectors_per_sec": b1.get("vectors_per_sec"),
             "build_1b_fraction": b1.get("fraction_of_1b"),
             "build_1b_resumes": b1.get("resumes"),
+            "build_1b_partial": b1.get("partial", False),
             "build_1b_drift_min_match_rate": (
                 round(min(d["match_rate"] for d in drift1b), 4)
                 if drift1b else None),

@@ -48,6 +48,25 @@ from ivfhnsw_tpu.parallel.pipeline import StreamedIndexBuild  # noqa: E402
 SEED_BASE = 5000   # disjoint from scale3's batch seeds (2000+)
 
 
+def _publish(meta, processed: int, target: int, seconds: float,
+             partial: bool) -> None:
+    """Write the bench-visible artifact atomically with current totals."""
+    out = dict(meta)
+    out.update({
+        "target": target,
+        "processed": processed,
+        "build_seconds": round(seconds, 1),
+        "vectors_per_sec": round(processed / max(seconds, 1e-9), 1),
+        "fraction_of_1b": round(processed / 1e9, 4),
+        "partial": partial,
+    })
+    p = os.path.join(bench.CACHE, "build1b.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, p)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--target", type=int, default=1_000_000_000)
@@ -128,21 +147,19 @@ def main():
             meta["seconds_so_far"] = round(base_s + el, 1)
             with open(meta_p, "w") as f:
                 json.dump(meta, f)
+            # Publish the in-flight fraction so a run cut short by the
+            # round boundary still reports honest partial progress
+            # (bench.py only reads this artifact, never runs the build).
+            _publish(meta, build.processed, args.target, base_s + el,
+                     partial=True)
 
     el = time.time() - t0
     total_s = base_s + el
-    meta.update({
-        "target": args.target,
-        "processed": build.processed,
-        "build_seconds": round(total_s, 1),
-        "vectors_per_sec": round(build.processed / max(total_s, 1e-9), 1),
-        "fraction_of_1b": round(build.processed / 1e9, 4),
-        "spill_bytes": sum(os.path.getsize(os.path.join(args.workdir, n))
-                           for n in os.listdir(args.workdir)),
-    })
+    meta["spill_bytes"] = sum(
+        os.path.getsize(os.path.join(args.workdir, n))
+        for n in os.listdir(args.workdir))
+    _publish(meta, build.processed, args.target, total_s, partial=False)
     with open(meta_p, "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(bench.CACHE, "build1b.json"), "w") as f:
         json.dump(meta, f)
     build.close()
     print(f"DONE: {build.processed} vectors in {total_s:.0f}s "
