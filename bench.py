@@ -252,14 +252,18 @@ def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100), precision=None,
     kmax = max(ks)
     q = jnp.asarray(queries)
     qsq = jnp.sum(q ** 2, axis=1)
+    cents = jnp.asarray(idx.centroids)
     hp = precision or jax.lax.Precision.HIGHEST
 
+    # Big arrays (centroids at nc=2^20 are 512 MB) must be ARGUMENTS:
+    # closed-over values are serialized into the remote-compile request,
+    # which rejected scale3's program with HTTP 413.
     @jax.jit
-    def block_scores(codes_b, keys_b, ncodes_b):
+    def block_scores(codes_b, keys_b, ncodes_b, q, qsq, cents):
         dec = idx.pq.decode(codes_b)
         if idx.do_opq:
             dec = opq_ops.apply_rotation_transpose(dec, idx.opq_R)
-        recon = dec + idx.centroids[keys_b]
+        recon = dec + cents[keys_b]
         ip = jax.lax.dot_general(q, recon,
                                  dimension_numbers=(((1,), (1,)), ((), ())),
                                  precision=hp,
@@ -277,7 +281,7 @@ def exact_adc_ceiling(idx, queries, gt, ks=(1, 10, 100), precision=None,
         hi = min(lo + BLK, ntotal)
         d_, i_ = block_scores(store.codes[lo:hi],
                               jnp.asarray(keys_all[lo:hi]),
-                              store.norm_codes[lo:hi])
+                              store.norm_codes[lo:hi], q, qsq, cents)
         d_, i_ = np.asarray(d_), np.asarray(i_)
         l_ = ids_np[lo + i_]
         cat_d = np.concatenate([best_d, d_], axis=1)
@@ -1088,7 +1092,7 @@ def recall_decomposition(idx, queries, gt, nprobe: int, max_codes: int,
     # exact — zero truncation).
     dem0 = int(idx.scan_slot_demand(
         queries, SearchParams(nprobe=nprobe, max_codes=0)).max())
-    gran = 1024 if idx._resolve_layout() == "quad" else 256
+    gran = idx.scan_unit()
     for name, (cm, mcv) in {
             "auto_budget": ("auto", max_codes),
             "exact_budget": ("exact", max_codes),
@@ -1235,7 +1239,7 @@ def main():
     # lists it actually probes, so removing empty padded slots is fair).
     p_worst = idx._pallas_nch(params, NPROBE)
     p_dem = int(idx.scan_slot_demand(queries, params).max())
-    p_gran = 1024 if idx._resolve_layout() == "quad" else 256
+    p_gran = idx.scan_unit()
     log(f"primary: scan slots worst-case {p_worst} -> profiled {p_dem}")
     params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                           scan_budget=p_dem * p_gran)
@@ -1370,7 +1374,7 @@ def main():
         # (no truncation for these queries — see scan_slot_demand).
         s2_worst = s2idx._pallas_nch(sp2, S2_NPROBE)
         s2_dem = int(s2idx.scan_slot_demand(s2q, sp2).max())
-        gran2 = 1024 if s2idx._resolve_layout() == "quad" else 256
+        gran2 = s2idx.scan_unit()
         log(f"scale2: scan slots worst-case {s2_worst} -> profiled "
             f"{s2_dem}")
         sp2 = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC,
@@ -1451,7 +1455,7 @@ def main():
         sl_dem = int(slidx.scan_slot_demand(
             slq, SearchParams(k=K, nprobe=NPROBE,
                               max_codes=MAX_CODES)).max())
-        sl_gran = 1024 if slidx._resolve_layout() == "quad" else 256
+        sl_gran = slidx.scan_unit()
         params_sl = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                                  scan_budget=sl_dem * sl_gran)
         sl_qps, sll = timed_qps(slidx, slq, params_sl)
@@ -1497,7 +1501,7 @@ def main():
         sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC)
         s3_worst = s3idx._pallas_nch(sp3, S3_NPROBE)
         s3_dem = int(s3idx.scan_slot_demand(s3q, sp3).max())
-        gran3 = 1024 if s3idx._resolve_layout() == "quad" else 256
+        gran3 = s3idx.scan_unit()
         log(f"scale3: scan slots worst-case {s3_worst} -> profiled "
             f"{s3_dem}")
         sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,

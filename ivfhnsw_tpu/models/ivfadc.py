@@ -468,12 +468,22 @@ class IVFADCIndex:
         padding waste is ~(RCHUNK - size % RCHUNK) lanes of masked top-k
         width), chunk otherwise. Crossover set at 768 codes/list from the
         measured scale (150/list: chunk 1.4x faster) and scale2 (1024/list:
-        quad 1.3x faster) bench stages."""
+        quad 1.3x faster) bench stages. "run" (explicit opt-in) scans the
+        chunk store RUN tiles per DMA — the per-descriptor floor of "chunk"
+        at quad's slot granularity, without quad's 1024-alignment waste."""
         if self.scan_layout != "auto":
             return self.scan_layout
         store = self._ensure_store()
         avg = store.ntotal / max(1, self.nc)
         return "quad" if avg >= 768 else "chunk"
+
+    def scan_unit(self) -> int:
+        """Codes per Pallas scan slot under the resolved layout (the unit of
+        ``SearchParams.scan_budget``): CHUNK for "chunk", RCHUNK for "quad"
+        and "run"."""
+        from ivfhnsw_tpu.ops.pallas import adc_scan as pk
+        return (pk.RCHUNK if self._resolve_layout() in ("quad", "run")
+                else pk.CHUNK)
 
     def _pallas_nch(self, params: SearchParams, nprobe: int) -> int:
         """Static scan-slot count for the Pallas engine. The default is the
@@ -489,7 +499,8 @@ class IVFADCIndex:
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         store = self._ensure_store()
         mx = store.max_list_size()
-        gran = pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
+        gran = (pk.RCHUNK if self._resolve_layout() in ("quad", "run")
+                else pk.CHUNK)
         if params.max_codes and params.max_codes > 0:
             nch = (params.max_codes + mx) // gran + nprobe + 1
         else:
@@ -509,7 +520,8 @@ class IVFADCIndex:
         any query whose demand was <= the profiled max."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         nprobe = min(params.nprobe or self.nprobe, self.nc)
-        gran = pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
+        gran = (pk.RCHUNK if self._resolve_layout() in ("quad", "run")
+                else pk.CHUNK)
         store = self._ensure_store()
         tiled = (store.quad() if self._resolve_layout() == "quad"
                  else store.tiled())
@@ -700,9 +712,12 @@ class IVFADCIndex:
 
     def _pallas_batch_cap(self, nch: int) -> int:
         """Largest per-launch sub-batch whose scalar-prefetch metadata
-        ([B, nch] i32) fits 1MB SMEM. Mosaic pads the operand, so budget
-        conservatively (observed: B=896 x nch=256 padded to exactly 1MB)."""
-        return max(128, min(1024, ((640 << 10) // (4 * nch)) // 128 * 128))
+        ([B, nch] i32) fits 1MB SMEM. Mosaic pads the operand's lane
+        dimension to a 128 multiple (observed: B=1024 x nch=130 allocated
+        as s32[1024, 256] = 1 MB and failed), so budget against the PADDED
+        width."""
+        nch_p = _round_up(nch, 128)
+        return max(128, min(1024, ((640 << 10) // (4 * nch_p)) // 128 * 128))
 
     def search_device(self, queries_dev, params: SearchParams,
                       interpret: bool = False):

@@ -100,6 +100,35 @@ def test_pallas_chunk_layout_matches_xla(built):
     assert_same(d1, l1, d2, l2)
 
 
+def test_pallas_run_layout_matches_xla(built):
+    """Run-granular layout (RUN chunk tiles per DMA over the chunk store):
+    must match the XLA oracle under both unlimited and truncating budgets,
+    including runs that over-fetch into the store's trailing pad tiles."""
+    idx, queries = built
+    d1, l1, d2, l2 = both_engines(
+        idx, queries, SearchParams(k=10, nprobe=16, max_codes=300),
+        layout="run")
+    assert_same(d1, l1, d2, l2)
+    d1, l1, d2, l2 = both_engines(
+        idx, queries, SearchParams(k=10, nprobe=8, max_codes=0),
+        layout="run")
+    assert_same(d1, l1, d2, l2)
+
+
+def test_run_layout_store_padding(built):
+    """The chunk store carries RUN-1 trailing zero tiles with -1 id slots
+    (over-fetch room for the run engine)."""
+    from ivfhnsw_tpu.models.storage import RUN_PAD, CHUNK as SCHUNK
+    idx, _ = built
+    t = idx.store.tiled()
+    nt = int(np.asarray(t.tile_offsets)[-1])
+    assert t.tiles.shape[0] == nt + RUN_PAD
+    assert np.all(np.asarray(t.tiles[nt:]) == 0)
+    ids = np.asarray(t.ids_aligned)
+    assert ids.shape[0] == (nt + RUN_PAD) * SCHUNK
+    assert np.all(ids[nt * SCHUNK:] == -1)
+
+
 def test_quad_store_layout(built):
     """Quad tiles: code row 4m+c = subquantizer m of chunk c, rows 64..67 =
     norm codes of chunks 0..3, lists 1024-aligned."""
