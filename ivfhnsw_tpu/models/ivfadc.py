@@ -464,26 +464,26 @@ class IVFADCIndex:
 
     def _resolve_layout(self) -> str:
         """Pick the Pallas tile layout. "auto": quad when the average
-        posting list fills most of a 1024-code quad slot (the per-probe
-        padding waste is ~(RCHUNK - size % RCHUNK) lanes of masked top-k
-        width), chunk otherwise. Crossover set at 768 codes/list from the
-        measured scale (150/list: chunk 1.4x faster) and scale2 (1024/list:
-        quad 1.3x faster) bench stages. "run" (explicit opt-in) scans the
-        chunk store RUN tiles per DMA — the per-descriptor floor of "chunk"
-        at quad's slot granularity, without quad's 1024-alignment waste."""
+        posting list fills enough of a 1024-code quad slot that one big
+        DMA beats several small ones; chunk otherwise. Crossover re-fit
+        at 416 codes/list from four PROFILED-BUDGET measurements
+        (tools/layout_probe.py, v5e round 3): 152/list chunk wins 1.53x,
+        325/list chunk wins 1.33x, 488/list quad wins 1.27x, ~1024/list
+        quad wins ~1.3x (scale2 stage). The old 768 crossover predated
+        profile-guided slot counts, which shrank quad's masked-output
+        penalty."""
         if self.scan_layout != "auto":
             return self.scan_layout
         store = self._ensure_store()
         avg = store.ntotal / max(1, self.nc)
-        return "quad" if avg >= 768 else "chunk"
+        return "quad" if avg >= 416 else "chunk"
 
     def scan_unit(self) -> int:
-        """Codes per Pallas scan slot under the resolved layout (the unit of
-        ``SearchParams.scan_budget``): CHUNK for "chunk", RCHUNK for "quad"
-        and "run"."""
+        """Codes per Pallas scan slot under the resolved layout (the unit
+        of ``SearchParams.scan_budget``): CHUNK for "chunk", RCHUNK for
+        "quad"."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
-        return (pk.RCHUNK if self._resolve_layout() in ("quad", "run")
-                else pk.CHUNK)
+        return pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
 
     def _pallas_nch(self, params: SearchParams, nprobe: int) -> int:
         """Static scan-slot count for the Pallas engine. The default is the
@@ -499,8 +499,7 @@ class IVFADCIndex:
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         store = self._ensure_store()
         mx = store.max_list_size()
-        gran = (pk.RCHUNK if self._resolve_layout() in ("quad", "run")
-                else pk.CHUNK)
+        gran = pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
         if params.max_codes and params.max_codes > 0:
             nch = (params.max_codes + mx) // gran + nprobe + 1
         else:
@@ -520,8 +519,7 @@ class IVFADCIndex:
         any query whose demand was <= the profiled max."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         nprobe = min(params.nprobe or self.nprobe, self.nc)
-        gran = (pk.RCHUNK if self._resolve_layout() in ("quad", "run")
-                else pk.CHUNK)
+        gran = pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
         store = self._ensure_store()
         tiled = (store.quad() if self._resolve_layout() == "quad"
                  else store.tiled())

@@ -25,9 +25,6 @@ import numpy as np
 
 CHUNK = 256      # codes per tile; must match ops.pallas.adc_scan.CHUNK
 TILE_ROWS = 24   # 16 transposed code rows + 1 norm row + 7 pad (8-aligned DMA)
-RUN_PAD = 3      # adc_scan.RUN - 1 trailing zero tiles: the run-granular
-                 # engine DMAs RUN consecutive tiles per descriptor and may
-                 # over-fetch past a list's last tile near the array end
 NORM_ROW = 16
 SUBC_ROW = 17    # grouping layout only: per-position subcentroid index
 QCHUNK = 4 * CHUNK  # codes per quad tile (adc_scan.RCHUNK)
@@ -167,15 +164,11 @@ class PostingListStore:
         norm_al[dest] = ncodes
         ids_al[dest] = ids
 
-        # RUN_PAD trailing zero tiles (+ matching -1 id slots) give the
-        # run-granular engine over-fetch room; the chunk engine never
-        # addresses them (its schedule stops at nt).
-        tiles = np.zeros((nt + RUN_PAD, TILE_ROWS, CHUNK), np.uint8)
-        tiles[:nt, :max_m, :] = codes_al.reshape(
+        tiles = np.empty((nt, TILE_ROWS, CHUNK), np.uint8)
+        tiles[:, :max_m, :] = codes_al.reshape(
             nt, CHUNK, max_m).transpose(0, 2, 1)
-        tiles[:nt, NORM_ROW, :] = norm_al.reshape(nt, CHUNK)
-        ids_al = np.concatenate(
-            [ids_al, np.full(RUN_PAD * CHUNK, -1, np.int32)])
+        tiles[:, max_m:, :] = 0
+        tiles[:, NORM_ROW, :] = norm_al.reshape(nt, CHUNK)
 
         self._tiled = TiledStore(
             tiles=jnp.asarray(tiles),

@@ -75,18 +75,15 @@ RTL_PACK = 2048  # packed schedule: qtile * RTL_PACK + len (len <= RCHUNK);
                  # bounds per-shard quad tiles to 2^31/2048 = 1.05M (1.07B
                  # codes — same corpus bound as the chunk layout)
 
-# --- run-granular engine (layout="run") -----------------------------------
-# Moves RUN consecutive CHUNK tiles per DMA over the *per-chunk* store:
-# posting lists are contiguous tile runs, so one descriptor + one semaphore
-# wait covers up to RCHUNK codes of one probe while lists stay 256-aligned
-# (no quad-style 1024-alignment waste for small lists). The per-DMA scalar
-# bookkeeping (~230 ns/descriptor measured round 2, tools/kernel_lab.py) is
-# the scan's fixed-cost floor at small-list geometries; this layout pays it
-# once per RUN instead of once per chunk. The store keeps RUN-1 trailing pad
-# tiles so a run starting at the last real tile can over-fetch safely.
-RUN = 4          # chunk tiles per DMA / schedule slot (slot = RCHUNK codes)
-CPSR = 2         # run slots per grid step -> CPSR*RUN = 8 out rows
-DEPTH_R = 8      # run DMA pipeline slots (> 2*CPSR)
+# A third, RUN-granular engine (RUN=4 consecutive chunk tiles per DMA over
+# the per-chunk store — quad's descriptor economics without its 1024-code
+# list alignment) was built and measured round 3 (tools/layout_probe.py)
+# and DELETED: it was dominated at every geometry — 152 codes/list: chunk
+# 37.7 < run 45.3 < quad 57.5 us/q; 325/list: 12.6 < 15.0 < 16.8;
+# 488/list: quad 9.3 < run 10.9 < chunk 11.8. At equal slot granularity
+# quad fetches 18 B/code vs run's 24 (interleaved rows), and below the
+# quad crossover chunk's exact 256-code slots beat both; the run engine
+# is structurally sandwiched. See git history for the implementation.
 
 
 def build_luts_ext(q_rot, codebooks, norm_centroids, precision=None):
@@ -107,15 +104,10 @@ def build_luts_ext(q_rot, codebooks, norm_centroids, precision=None):
 
 
 def _probe_schedule(probes, qc_dists, centroid_norms, tile_offsets,
-                    list_sizes, max_codes, n: int, gran: int,
-                    tile_stride: int = 1):
+                    list_sizes, max_codes, n: int, gran: int):
     """Shared schedule builder: expand per-probe posting lists into ``n``
     fixed slots of ``gran`` codes each (gran=CHUNK for the per-chunk layout,
-    gran=RCHUNK for the quad and run layouts).
-
-    ``tile_stride`` is the number of base tiles one slot advances: 1 when
-    ``tile_offsets`` are in slot granularity (chunk, quad), RUN for the
-    run layout (RCHUNK-code slots over CHUNK-granularity tile indices).
+    gran=RCHUNK for the quad layout).
 
     Returns (slot_tile [B, n] i32, slot_len [B, n] i32 (<= gran),
              slot_bias [B, n] f32)."""
@@ -133,12 +125,11 @@ def _probe_schedule(probes, qc_dists, centroid_norms, tile_offsets,
     pack = jnp.pad(pack, ((0, 0), (0, 5)))
     g = jnp.take(pack, probes, axis=0)                          # [B, P, 8]
     return _probe_schedule_fields(g[..., 0], g[..., 1],
-                                  qc_dists - g[..., 2], max_codes, n, gran,
-                                  tile_stride)
+                                  qc_dists - g[..., 2], max_codes, n, gran)
 
 
 def _probe_schedule_fields(sizes_f, tile_off_f, term1, max_codes, n: int,
-                           gran: int, tile_stride: int = 1):
+                           gran: int):
     """Schedule expansion from PRE-GATHERED per-probe fields (f32; see
     coarse_select_rerank_ext, which serves them from the same row gather
     as the coarse rerank — separate gathers measured ~25 us/q at
@@ -170,7 +161,7 @@ def _probe_schedule_fields(sizes_f, tile_off_f, term1, max_codes, n: int,
                      precision=jax.lax.Precision.HIGHEST)       # [B, n, 4]
     valid = j[None, :] < bounds[:, -1:]
     within = j[None, :] - jnp.round(sel[..., 0]).astype(jnp.int32)
-    tile = jnp.round(sel[..., 3]).astype(jnp.int32) + within * tile_stride
+    tile = jnp.round(sel[..., 3]).astype(jnp.int32) + within
     ln = jnp.clip(jnp.round(sel[..., 1]).astype(jnp.int32) - within * gran,
                   0, gran)
     return (jnp.where(valid, tile, 0),
@@ -504,161 +495,6 @@ def adc_search_quad(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
     within = sel % RCHUNK
     qtile_sel = jnp.take_along_axis(qtile, quad_of, axis=1)
     labels = ids_aligned[qtile_sel * RCHUNK + within]
-    labels = jnp.where(jnp.isfinite(best), labels, -1)
-    return best, labels
-
-
-@functools.partial(jax.jit, static_argnames=("nrun",))
-def run_metadata(probes, qc_dists, centroid_norms, tile_offsets, list_sizes,
-                 max_codes, nrun: int):
-    """Per-query RUN-granular schedule against CHUNK tile indices.
-
-    Returns (run_tile [B, nrun] i32 — FIRST chunk tile of the run,
-             run_len [B, nrun] i32 (<= RCHUNK), run_bias [B, nrun] f32)."""
-    return _probe_schedule(probes, qc_dists, centroid_norms, tile_offsets,
-                           list_sizes, max_codes, nrun, RCHUNK,
-                           tile_stride=RUN)
-
-
-def _adc_kernel_run(rtl_smem,  # scalar prefetch: run_tile*RTL_PACK + len
-                    luts_ref, tiles_hbm, out_ref, scratch, sems):
-    """Run-granular scan step: the chunk kernel's DEPTH_R-slot rolling DMA
-    pipeline, but each slot moves RUN consecutive [24, 256] chunk tiles in
-    ONE descriptor and the compute emits the run's RUN chunk rows."""
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    nb = pl.num_programs(0)
-    nsteps = pl.num_programs(1)
-    nrun = nsteps * CPSR
-
-    def dma(slot, t):
-        return pltpu.make_async_copy(tiles_hbm.at[pl.ds(t, RUN)],
-                                     scratch.at[slot], sems.at[slot])
-
-    def start_for(gg):
-        bb = gg // nrun
-        cc = jax.lax.rem(gg, nrun)
-        tl = rtl_smem[bb, cc]
-
-        @pl.when(jax.lax.rem(tl, RTL_PACK) > 0)
-        def _():
-            dma(jax.lax.rem(gg, DEPTH_R), tl // RTL_PACK).start()
-
-    g0 = b * nrun + j * CPSR
-
-    @pl.when(g0 == 0)
-    def _():
-        for w in range(DEPTH_R - CPSR):
-            @pl.when(w < nb * nrun)
-            def _():
-                start_for(jnp.int32(w))
-
-    for i in range(CPSR):
-        @pl.when(g0 + DEPTH_R - CPSR + i < nb * nrun)
-        def _():
-            start_for(g0 + DEPTH_R - CPSR + i)
-
-    lut = luts_ref[0]                                      # [24, 256]
-    lut0, lut1 = lut[:, :128], lut[:, 128:]
-
-    def half(idx_h):
-        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
-        ga = jnp.take_along_axis(lut0, idxm, axis=1,
-                                 mode="promise_in_bounds")
-        gb = jnp.take_along_axis(lut1, idxm, axis=1,
-                                 mode="promise_in_bounds")
-        return jnp.where(idx_h < 128, ga, gb)
-
-    for i in range(CPSR):
-        g = g0 + i
-        tl = rtl_smem[b, j * CPSR + i]
-        ln = jax.lax.rem(tl, RTL_PACK)
-
-        @pl.when(ln > 0)
-        def _():
-            dma(jax.lax.rem(g, DEPTH_R), tl // RTL_PACK).wait()
-            for rr in range(RUN):
-                # Compute only chunks the run actually covers; rows past
-                # ln stay garbage and are masked outside (see
-                # adc_scan_tiles for why masking lives out there).
-                @pl.when(ln > rr * CHUNK)
-                def _():
-                    idx = scratch[jax.lax.rem(g, DEPTH_R), rr].astype(
-                        jnp.int32)
-                    gg2 = jnp.concatenate(
-                        [half(idx[:, :128]), half(idx[:, 128:])], axis=1)
-                    out_ref[0, i * RUN + rr, :] = jnp.sum(gg2, axis=0)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def adc_scan_runs(luts_ext, run_tile, run_len, run_bias, tiles,
-                  interpret: bool = False):
-    """Run-granular scan. Returns dists [B, nrun*RCHUNK] f32 (masked +inf).
-
-    luts_ext [B, 24, 256] f32; run_* [B, nrun] (see run_metadata); tiles
-    [NT + RUN-1, 24, 256] u8 — the store's chunk tiles with RUN-1 trailing
-    pad tiles (over-fetch room for runs starting near the end)."""
-    B, nrun = run_tile.shape
-    if nrun % CPSR:
-        pad = CPSR - nrun % CPSR
-        run_tile = jnp.pad(run_tile, ((0, 0), (0, pad)))
-        run_len = jnp.pad(run_len, ((0, 0), (0, pad)))
-        run_bias = jnp.pad(run_bias, ((0, 0), (0, pad)))
-        nrun += pad
-    rtl = run_tile * RTL_PACK + run_len
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, nrun // CPSR),
-        in_specs=[
-            pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, CPSR * RUN, CHUNK),
-                               lambda b, j, *_: (b, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((DEPTH_R, RUN, LUT_ROWS, CHUNK), jnp.uint8),
-            pltpu.SemaphoreType.DMA((DEPTH_R,)),
-        ],
-    )
-    out = pl.pallas_call(
-        _adc_kernel_run,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nrun * RUN, CHUNK), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-        interpret=interpret,
-    )(rtl, luts_ext, tiles)
-    # Expand run metadata to chunk granularity for the fused mask+bias pass.
-    rr = jnp.arange(RUN, dtype=jnp.int32)
-    chunk_len = jnp.clip(run_len[:, :, None] - rr[None, None, :] * CHUNK,
-                         0, CHUNK).reshape(B, nrun * RUN)
-    chunk_bias = jnp.broadcast_to(run_bias[:, :, None],
-                                  (B, nrun, RUN)).reshape(B, nrun * RUN)
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)
-    out = jnp.where(lane[None, None, :] < chunk_len[:, :, None],
-                    out + chunk_bias[:, :, None], jnp.inf)
-    return out.reshape(B, nrun * RUN * CHUNK)
-
-
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def adc_search_runs(luts_ext, run_tile, run_len, run_bias, tiles,
-                    ids_aligned, k: int, interpret: bool = False):
-    """Run scan + top-k + id resolution. Returns (dists, labels) [B, k].
-
-    ids_aligned must cover the padded tiles ((NT + RUN-1) * CHUNK entries;
-    the store pads with -1): a +inf lane of a run whose first tile is the
-    last real tile indexes past NT*CHUNK before the isfinite mask drops it."""
-    dists = adc_scan_runs(luts_ext, run_tile, run_len, run_bias, tiles,
-                          interpret=interpret)
-    best, sel = topk_smallest(dists, k)
-    run_of = sel // RCHUNK
-    within = sel % RCHUNK
-    tile_sel = jnp.take_along_axis(run_tile, run_of, axis=1)
-    # Runs are consecutive chunk tiles of one list, so aligned positions are
-    # contiguous from the run's first tile.
-    labels = ids_aligned[tile_sel * CHUNK + within]
     labels = jnp.where(jnp.isfinite(best), labels, -1)
     return best, labels
 
@@ -1075,9 +911,7 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
 
     layout selects the HBM tile format (must match the ``tiles`` /
     ``tile_offsets`` arrays): "chunk" = [NT, 24, 256] per-chunk tiles,
-    "quad" = [NQT, 72, 256] quad tiles (nch counts RCHUNK slots),
-    "run" = the chunk tiles scanned RUN-at-a-time (nch counts RCHUNK
-    slots; tile_offsets stay chunk-granular).
+    "quad" = [NQT, 72, 256] quad tiles (nch counts RCHUNK slots).
 
     routed = (supers, super_sqn, block_table) + routed_w > 0 selects the
     two-level ROUTED coarse path (ops.routed_coarse): probe selection and
@@ -1086,8 +920,7 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     from ivfhnsw_tpu.ops.distances import (coarse_select_rerank,
                                            coarse_select_rerank_ext,
                                            streaming_topk_l2)
-    gran = RCHUNK if layout in ("quad", "run") else CHUNK
-    stride = RUN if layout == "run" else 1
+    gran = RCHUNK if layout == "quad" else CHUNK
     # Coarse selection: plain streaming approx_min_k, or the routed
     # two-level path when a routing structure is supplied. Two further
     # measured alternatives LOST end-to-end at nc=2^17/B=1024/nprobe=128
@@ -1106,14 +939,14 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
         qc_dists, probes, term1, sz_f, toff_f = routed_select_ext(
             queries, *routed, nprobe=nprobe, w=routed_w)
         st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
-                                            max_codes, nch, gran, stride)
+                                            max_codes, nch, gran)
     elif ext_table is not None and coarse_approx:
         qc_dists, probes, term1, sz_f, toff_f = coarse_select_rerank_ext(
             queries, centroids, ext_table, nprobe, block=coarse_block,
             point_sqnorms=centroid_norms, recall_target=coarse_recall,
             precision=precision)
         st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
-                                            max_codes, nch, gran, stride)
+                                            max_codes, nch, gran)
     else:
         qc_dists, probes = streaming_topk_l2(
             queries, centroids, nprobe, block=coarse_block,
@@ -1121,15 +954,10 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
             approx=coarse_approx, recall_target=coarse_recall)
         st, sl, sb = _probe_schedule(probes, qc_dists, centroid_norms,
                                      tile_offsets, list_sizes, max_codes,
-                                     nch, gran, stride)
+                                     nch, gran)
     q_rot = queries @ R.T if use_opq else queries
     luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
                               precision=precision)
-    if layout == "run":
-        # No two-phase variant: the run layout targets small-list
-        # geometries where the wide engine already wins end-to-end.
-        return adc_search_runs(luts_ext, st, sl, sb, tiles, ids_aligned, k,
-                               interpret=interpret)
     if layout == "quad":
         if two_phase:
             return adc_search_quad_2p(luts_ext, st, sl, sb, tiles,

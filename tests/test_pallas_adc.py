@@ -100,33 +100,13 @@ def test_pallas_chunk_layout_matches_xla(built):
     assert_same(d1, l1, d2, l2)
 
 
-def test_pallas_run_layout_matches_xla(built):
-    """Run-granular layout (RUN chunk tiles per DMA over the chunk store):
-    must match the XLA oracle under both unlimited and truncating budgets,
-    including runs that over-fetch into the store's trailing pad tiles."""
-    idx, queries = built
-    d1, l1, d2, l2 = both_engines(
-        idx, queries, SearchParams(k=10, nprobe=16, max_codes=300),
-        layout="run")
-    assert_same(d1, l1, d2, l2)
-    d1, l1, d2, l2 = both_engines(
-        idx, queries, SearchParams(k=10, nprobe=8, max_codes=0),
-        layout="run")
-    assert_same(d1, l1, d2, l2)
-
-
-def test_run_layout_store_padding(built):
-    """The chunk store carries RUN-1 trailing zero tiles with -1 id slots
-    (over-fetch room for the run engine)."""
-    from ivfhnsw_tpu.models.storage import RUN_PAD, CHUNK as SCHUNK
-    idx, _ = built
-    t = idx.store.tiled()
-    nt = int(np.asarray(t.tile_offsets)[-1])
-    assert t.tiles.shape[0] == nt + RUN_PAD
-    assert np.all(np.asarray(t.tiles[nt:]) == 0)
-    ids = np.asarray(t.ids_aligned)
-    assert ids.shape[0] == (nt + RUN_PAD) * SCHUNK
-    assert np.all(ids[nt * SCHUNK:] == -1)
+def test_pallas_batch_cap_padded_width():
+    """_pallas_batch_cap budgets against the Mosaic-PADDED prefetch lane
+    width: nch=130 allocates as [B, 256] i32 in SMEM, so B=1024 (pre-fix
+    cap) would need 1 MB exactly and fail on device."""
+    idx = IVFADCIndex(IndexConfig(d=16, nc=8, code_size=8))
+    assert idx._pallas_batch_cap(130) * 256 * 4 <= 640 << 10
+    assert idx._pallas_batch_cap(52) == 1024   # padded 128: full batch ok
 
 
 def test_quad_store_layout(built):

@@ -1,12 +1,13 @@
-"""Measure chunk vs quad vs run scan layouts end-to-end on cached bench
-indexes (primary + scale geometries — the small/medium list-size regimes the
-run layout targets; scale2's 1024-code lists already favor quad).
+"""Measure chunk vs quad scan layouts end-to-end on cached bench indexes
+at PROFILED scan budgets — the data behind _resolve_layout's auto
+crossover (re-fit to 416 codes/list in round 3).
 
-The run layout (ops/pallas/adc_scan.py layout="run") moves RUN=4 consecutive
-chunk tiles per DMA descriptor: same per-descriptor scalar floor as quad but
-over the 256-aligned chunk store, so small lists don't pad whole 1024-lane
-slots. This probe decides whether _resolve_layout's auto policy should
-prefer "run" below the quad crossover.
+Round-3 measurements (v5e, sustained, profiled budgets):
+  152 codes/list (scale):    chunk 37.7 | quad 57.5 | run 45.3 us/q
+  325 codes/list (midband):  chunk 12.6 | quad 16.8 | run 15.0
+  488 codes/list (primary):  chunk 11.8 | quad  9.3 | run 10.9
+A run-granular engine (RUN=4 chunk tiles per DMA) was measured here and
+deleted — dominated at every geometry (see adc_scan.py header note).
 
 Usage: python tools/layout_probe.py [--stage primary|scale|both]
 """
@@ -29,7 +30,7 @@ import bench  # noqa: E402
 from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams  # noqa: E402
 
 
-def probe(idx, queries, nprobe, max_codes, layouts=("chunk", "quad", "run"),
+def probe(idx, queries, nprobe, max_codes, layouts=("chunk", "quad"),
           runs=3):
     from ivfhnsw_tpu.utils.recall import recall_at_k
     base = SearchParams(k=10, nprobe=nprobe, max_codes=max_codes)
@@ -41,7 +42,11 @@ def probe(idx, queries, nprobe, max_codes, layouts=("chunk", "quad", "run"),
             gran = idx.scan_unit()
             p = SearchParams(k=10, nprobe=nprobe, max_codes=max_codes,
                              scan_budget=dem * gran)
-            qps, labels = bench.timed_qps(idx, queries, p, runs=runs)
+            # reshape=None -> search_device picks its own SMEM-safe
+            # sub-batching (a forced B=1024 at ~130 slots pads the
+            # prefetch operand past the 1 MB SMEM).
+            qps, labels = bench.timed_qps(idx, queries, p, runs=runs,
+                                          reshape=None)
             out[layout] = {"us_per_query": 1e6 / qps, "slots": dem,
                            "labels": labels}
             print(f"  {layout:5s}: {1e6/qps:7.2f} us/q  ({dem} slots x "

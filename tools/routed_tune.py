@@ -66,11 +66,15 @@ def main():
     store = idx._ensure_store()
     tiled = store.quad() if layout == "quad" else store.tiled()
 
-    configs = [(2048, 1.5), (1024, 1.5), (512, 1.5), (512, 2.0),
-               (256, 1.5), (1024, 3.0)]
+    # Both directions from the failed default (2048, 1.5): COARSER blocks
+    # (each gathered row set covers more of a probe neighborhood) and FINER
+    # blocks (scale3's nc=2^20 structure reached 0.9964 overlap at w=16
+    # with nc/64 supers — granularity, not candidate volume, was binding).
+    configs = [(2048, 1.5), (4096, 1.5), (8192, 1.5), (2048, 2.5),
+               (1024, 1.5), (512, 2.0)]
     if args.quick:
-        configs = configs[:3]
-    ws = (8, 16, 32, 64)
+        configs = configs[:4]
+    ws = (8, 16, 32, 64, 128)
 
     for n_super, capf in configs:
         rc = RoutedCoarse(np.asarray(idx.centroids), n_super=n_super,
