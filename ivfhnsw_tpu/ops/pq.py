@@ -36,13 +36,36 @@ def _pq_encode(x, codebooks, precision=jax.lax.Precision.HIGHEST):
     return codes.T
 
 
+_DECODE_CHUNK = 65536
+
+
 @jax.jit
 def _pq_decode(codes, codebooks):
-    """codes [n, M] uint8 -> [n, d] f32."""
+    """codes [n, M] uint8 -> [n, d] f32.
+
+    The natural one-shot gather materializes an [n, M, dsub] temp whose
+    trailing dsub (typically 8) pads to a 128-lane tile on TPU — a 16x HBM
+    expansion that OOMs at n=2^21/M=16 (16 GB padded for a 1 GB result).
+    Chunking the gather with lax.map bounds the padded temp to
+    _DECODE_CHUNK rows (~512 MB) regardless of n.
+    """
     n, M = codes.shape
     _, _, dsub = codebooks.shape
-    gathered = codebooks[jnp.arange(M)[None, :], codes.astype(jnp.int32)]
-    return gathered.reshape(n, M * dsub)
+    midx = jnp.arange(M)[None, :]
+
+    def gather(c):
+        g = codebooks[midx, c.astype(jnp.int32)]
+        return g.reshape(c.shape[0], M * dsub)
+
+    ch = _DECODE_CHUNK
+    if n <= ch:
+        return gather(codes)
+    main, tail = (n // ch) * ch, n % ch
+    out = jax.lax.map(gather, codes[:main].reshape(main // ch, ch, M))
+    out = out.reshape(main, M * dsub)
+    if tail:
+        out = jnp.concatenate([out, gather(codes[main:])], axis=0)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
