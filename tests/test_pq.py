@@ -108,3 +108,22 @@ def test_opq_beats_plain_pq(rng):
     rec = apply_rotation_transpose(opq_pq.decode(opq_pq.encode(xr)), R)
     opq_mse = float(((np.asarray(rec) - data) ** 2).sum(1).mean())
     assert opq_mse < plain_mse * 0.95, (opq_mse, plain_mse)
+
+
+def test_pq_decode_chunked_matches_direct(rng):
+    # The decode gather is chunked at _DECODE_CHUNK rows to bound the
+    # 16x-padded [n, M, dsub] temp on TPU; every chunk-boundary shape
+    # (below, exact multiple, multiple + ragged tail) must decode
+    # identically to the direct gather.
+    from ivfhnsw_tpu.ops.pq import _DECODE_CHUNK, _pq_decode
+
+    d, M = 32, 8
+    cb = jnp.asarray(rng.randn(M, 256, d // M).astype(np.float32))
+    ch = _DECODE_CHUNK
+    for n in (257, ch, 2 * ch, 2 * ch + 777):
+        codes = jnp.asarray(
+            rng.randint(0, 256, size=(n, M)).astype(np.uint8))
+        got = np.asarray(_pq_decode(codes, cb))
+        ref = np.asarray(cb)[np.arange(M)[None, :],
+                             np.asarray(codes, np.int32)].reshape(n, d)
+        np.testing.assert_array_equal(got, ref)
