@@ -209,6 +209,8 @@ def measure_cpu_baseline(idx, queries, gt, tag="cpu_baseline"):
                            text=True, timeout=3600)
         if r.returncode != 0:
             log(f"cpu_baseline failed: {r.stderr[-500:]}")
+            if runs:
+                break                      # keep whatever clean runs we have
             os.remove(blob)
             return None, None
         us_i = float(r.stdout.strip().split("=")[1])
@@ -1087,12 +1089,16 @@ def recall_decomposition(idx, queries, gt, nprobe: int, max_codes: int,
     out = {}
     # The unlimited controls need a profiled slot cap: max_codes=0 makes
     # the worst-case bound nprobe * ceil(max_list/gran), whose SMEM
-    # schedule exceeds the compiler's limit at canonical geometry (the
-    # profiled cap covers every probed list in full, so the control stays
-    # exact — zero truncation).
-    dem0 = int(idx.scan_slot_demand(
-        queries, SearchParams(nprobe=nprobe, max_codes=0)).max())
+    # schedule exceeds the compiler's limit at canonical geometry. The cap
+    # is profiled PER COARSE MODE with the same probe-selection path the
+    # control runs (scan_slot_demand follows params.coarse_mode), so each
+    # control covers every list its own probe set scans in full — zero
+    # truncation, not merely zero truncation for the exact probe sets.
     gran = idx.scan_unit()
+    dem = {cm: int(idx.scan_slot_demand(
+               queries, SearchParams(nprobe=nprobe, max_codes=0,
+                                     coarse_mode=cm)).max())
+           for cm in ("auto", "exact")}
     for name, (cm, mcv) in {
             "auto_budget": ("auto", max_codes),
             "exact_budget": ("exact", max_codes),
@@ -1100,7 +1106,7 @@ def recall_decomposition(idx, queries, gt, nprobe: int, max_codes: int,
             "exact_unlimited": ("exact", 0)}.items():
         p = SearchParams(k=max(ks), nprobe=nprobe, max_codes=mcv,
                          coarse_mode=cm,
-                         scan_budget=dem0 * gran if mcv == 0 else None)
+                         scan_budget=dem[cm] * gran if mcv == 0 else None)
         _, l = idx.search(queries, p, batch=256)
         r = recall_at_k(l, gt, ks=ks)
         out[name] = {str(kk): round(r[kk], 4) for kk in ks}

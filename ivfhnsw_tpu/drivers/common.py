@@ -255,12 +255,12 @@ def build_or_read_index(index, cfg: RunConfig, ds, idxs,
 def eval_search(index, cfg: RunConfig, ds, search_fn=None) -> dict:
     """Timed query loop + Recall@k in the reference's output format
     (test_ivfhnsw_sift1b.cpp:188-215)."""
-    from ivfhnsw_tpu.utils.config import SearchParams
+    import dataclasses
     p = cfg.search
-    params = SearchParams(k=p.k, nprobe=p.nprobe, max_codes=p.max_codes,
-                          efSearch=p.efSearch, do_pruning=p.do_pruning,
-                          coarse_mode=p.coarse_mode,
-                          coarse_recall=p.coarse_recall)
+    # cfg.search IS a SearchParams — pass a copy through verbatim so every
+    # parsed search flag (incl. scan_budget) applies; a field-by-field
+    # rebuild here silently dropped new fields twice already.
+    params = dataclasses.replace(p)
     if (p.coarse_mode == "routed"
             and getattr(index, "_routed_coarse", None) is None
             and hasattr(index, "enable_routed_coarse")):

@@ -242,6 +242,14 @@ class IVFADCGroupingIndex(IVFADCIndex):
         self.builder = PostingListBuilder(config.nc * config.nsubc,
                                           config.pq_m)
 
+    def enable_routed_coarse(self, *args, **kwargs):
+        """Unsupported here: the grouping search kernels take exact/approx
+        probe selection only, so building the routed structure would be
+        minutes of wasted k-means. Fail before that work, not after."""
+        raise NotImplementedError(
+            "routed coarse selection is not wired into the grouping "
+            "search kernels; use coarse_mode='approx' or 'exact'")
+
     # ------------------------------------------------------------------
     # Neighbor-centroid structure
     # ------------------------------------------------------------------
@@ -540,6 +548,14 @@ class IVFADCGroupingIndex(IVFADCIndex):
         params = params or SearchParams(k=10, nprobe=self.nprobe,
                                         max_codes=self.max_codes,
                                         do_pruning=self.do_pruning)
+        if getattr(params, "coarse_mode", "auto") == "routed":
+            # The grouping kernels select probes exact/approx only; a
+            # silent exact fallback here would waste the routed structure
+            # build and misattribute its cost. Fail loudly instead.
+            raise NotImplementedError(
+                "coarse_mode='routed' is not wired into the grouping "
+                "search kernels; use 'approx' (the auto default above "
+                "nc=16384) or 'exact'")
         store = self._ensure_store()
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]

@@ -156,8 +156,9 @@ class IVFADCIndex:
         # the masked [B, nch*gran] array; "twophase" reduces each scan unit
         # to its masked minimum in-kernel, top-ks unit minima, and exactly
         # rescans the k best units (see ops.pallas.adc_scan two-phase
-        # section). "auto" picks twophase when the wide masked output would
-        # exceed ~32k lanes/query (where its store+top-k cost dominates).
+        # section). "auto" resolves to wide — measured end-to-end winner at
+        # every bench geometry (see _resolve_two_phase); "twophase" is the
+        # exact opt-in for very-wide-output geometries.
         self.scan_topk = "auto"
         # Stats counter, analog of hnswlib dist_calc (hnswalg.h:58).
         self.stats = {"queries": 0, "codes_scanned": 0}
@@ -443,6 +444,12 @@ class IVFADCIndex:
 
     def _resolve_engine(self, trace: bool) -> str:
         eng = self.engine
+        if eng not in ("auto", "xla", "pallas", "pallas_interpret"):
+            # Fail loudly: the shared-scan "batch" engine was deleted in
+            # round 3, and a silent fall-through to the XLA path would be
+            # a large hidden perf regression on TPU.
+            raise ValueError(f"unknown engine {eng!r}; expected one of "
+                             "auto/xla/pallas/pallas_interpret")
         if eng == "auto":
             eng = "pallas" if jax.default_backend() == "tpu" else "xla"
         if trace:
@@ -516,7 +523,13 @@ class IVFADCIndex:
         gran`` (lanes) to shrink the static slot allocation from the
         worst-case bound to what the workload actually uses — measured
         2-3x fewer slots at canonical geometry. Exact (no truncation) for
-        any query whose demand was <= the profiled max."""
+        any query whose demand was <= the profiled max.
+
+        Probes are selected by the SAME coarse path the search under
+        ``params`` will take (routed/approx/exact): a profile taken with
+        exact probe sets can under-provision an approx/routed run whose
+        slightly different probe set hits larger lists, silently
+        truncating a "no-truncation" budget."""
         from ivfhnsw_tpu.ops.pallas import adc_scan as pk
         nprobe = min(params.nprobe or self.nprobe, self.nc)
         gran = pk.RCHUNK if self._resolve_layout() == "quad" else pk.CHUNK
@@ -525,13 +538,24 @@ class IVFADCIndex:
                  else store.tiled())
         sizes_all = np.asarray(tiled.list_sizes[:self.nc])
         queries = np.asarray(queries, np.float32)
+        routed, rw = self._routed_for(params, nprobe)
         out = np.empty(queries.shape[0], np.int64)
         for off in range(0, queries.shape[0], batch):
             blk = jnp.asarray(queries[off:off + batch])
-            _, probes = streaming_topk_l2(
-                blk, self.centroids, nprobe, block=self._cb(),
-                point_sqnorms=self.centroid_norms,
-                precision=ARGMIN_PRECISION)
+            if routed is not None and rw > 0:
+                from ivfhnsw_tpu.ops.routed_coarse import routed_select_ext
+                _, probes, *_ = routed_select_ext(
+                    blk, *routed, nprobe=nprobe, w=rw)
+            elif self._coarse_approx(params):
+                _, probes = streaming_topk_l2(
+                    blk, self.centroids, nprobe, block=self._cb(),
+                    point_sqnorms=self.centroid_norms, precision=None,
+                    approx=True, recall_target=params.coarse_recall)
+            else:
+                _, probes = streaming_topk_l2(
+                    blk, self.centroids, nprobe, block=self._cb(),
+                    point_sqnorms=self.centroid_norms,
+                    precision=ARGMIN_PRECISION)
             sz = sizes_all[np.asarray(probes)]            # [b, nprobe]
             cum_before = np.concatenate(
                 [np.zeros((sz.shape[0], 1), np.int64),
@@ -584,24 +608,6 @@ class IVFADCIndex:
                 self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
                 tiled.tiles, tiled.ids_aligned, tiled.tile_offsets,
                 tiled.list_sizes)
-
-    def _ext_table(self):
-        """[nc, d+3] = [centroid | sqnorm | list_size | tile_offset] — one
-        row gather serves the coarse rerank and the scan schedule (see
-        ops.distances.coarse_select_rerank_ext). Cached on the tiled store
-        (invalidated with it)."""
-        store = self._ensure_store()
-        tiled = (store.quad() if self._resolve_layout() == "quad"
-                 else store.tiled())
-        ext = getattr(tiled, "_ext", None)
-        if ext is None:
-            ext = jnp.concatenate(
-                [self.centroids, self.centroid_norms[:, None],
-                 tiled.list_sizes.astype(jnp.float32)[:, None],
-                 tiled.tile_offsets[:self.nc].astype(jnp.float32)[:, None]],
-                axis=1)
-            tiled._ext = ext
-        return ext
 
     def _search_pallas(self, blk, params: SearchParams, nprobe: int,
                        interpret: bool):
@@ -660,7 +666,9 @@ class IVFADCIndex:
                 use_opq=self.do_opq,
                 coarse_approx=(not rw) and self._coarse_approx(params),
                 coarse_recall=params.coarse_recall,
-                layout=self._resolve_layout(), routed=routed, routed_w=rw)
+                layout=self._resolve_layout(),
+                two_phase=self._resolve_two_phase(params, nprobe),
+                routed=routed, routed_w=rw)
             self.stats["queries"] += nq
             return (np.asarray(d).reshape(-1, params.k)[:nq],
                     np.asarray(l).reshape(-1, params.k)[:nq].astype(np.int64))

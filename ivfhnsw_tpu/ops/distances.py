@@ -131,78 +131,6 @@ def streaming_topk_l2(queries: jax.Array, points: jax.Array, k: int,
     return best_d, best_i
 
 
-def coarse_select_rerank(queries: jax.Array, centroids: jax.Array,
-                         nprobe: int, block: int = 65536,
-                         point_sqnorms: jax.Array | None = None,
-                         recall_target: float = 0.95,
-                         precision=jax.lax.Precision.HIGHEST):
-    """Two-stage coarse probe selection for large centroid sets.
-
-    Stage 1 scores every centroid with the MXU's native (bf16-multiply)
-    matmul + approx_min_k — measured 10-18x cheaper than a HIGHEST-
-    precision sweep at nc=2^17/B=1024, because a full-f32 matmul costs
-    multiple MXU passes. Stage 2 recomputes the nprobe winners' distances
-    exactly (HIGHEST, tiny: B x nprobe x d) and re-sorts ascending, so
-    term1 and the max_codes ascending-order budget semantics
-    (IndexIVF_HNSW.cpp:249-259, 290-292) are computed from EXACT
-    query-centroid distances; only the candidate CUT uses approximate
-    scores — the same place the reference accepts HNSW's approximation.
-
-    Returns (dists [B, nprobe] f32 exact, idxs [B, nprobe]) ascending."""
-    _, cand = streaming_topk_l2(queries, centroids, nprobe, block=block,
-                                point_sqnorms=point_sqnorms,
-                                precision=None, approx=True,
-                                recall_target=recall_target)
-    c = jnp.take(centroids, cand, axis=0)                   # [B, P, d]
-    ip = jnp.einsum("bpd,bd->bp", c, queries, precision=precision,
-                    preferred_element_type=jnp.float32)
-    if point_sqnorms is None:
-        cn = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)
-    else:
-        cn = jnp.take(point_sqnorms, cand, axis=0)
-    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
-    d2 = qsq[:, None] - 2.0 * ip + cn
-    order = jnp.argsort(d2, axis=1)
-    return (jnp.take_along_axis(d2, order, axis=1),
-            jnp.take_along_axis(cand, order, axis=1))
-
-
-def coarse_select_rerank_ext(queries: jax.Array, centroids: jax.Array,
-                             ext_table: jax.Array, nprobe: int,
-                             block: int = 65536,
-                             point_sqnorms: jax.Array | None = None,
-                             recall_target: float = 0.95,
-                             precision=jax.lax.Precision.HIGHEST):
-    """:func:`coarse_select_rerank` + schedule-field fusion: row gathers on
-    TPU cost ~hundreds of ns per row regardless of width, so the coarse
-    rerank, the per-probe norms, and the scan-schedule metadata (list
-    sizes, tile offsets) are served by ONE gather of an extended table
-    ``[nc, d+3]`` = [centroid | sqnorm | list_size | tile_offset] instead
-    of three separate ones (the separate pack-table gather alone measured
-    ~25 us/q at nc=2^17, B=1024, nprobe=128).
-
-    Returns (qc_dists, probes, term1, sizes_f, tile_off_f), all [B, nprobe]
-    and ascending by exact distance; sizes/tile offsets are f32 (exact
-    below 2^24 — enforced at layout build)."""
-    d = queries.shape[1]
-    _, cand = streaming_topk_l2(queries, centroids, nprobe, block=block,
-                                point_sqnorms=point_sqnorms,
-                                precision=None, approx=True,
-                                recall_target=recall_target)
-    g = jnp.take(ext_table, cand, axis=0)                  # [B, P, d+3]
-    c = g[..., :d]
-    cn = g[..., d]
-    ip = jnp.einsum("bpd,bd->bp", c, queries, precision=precision,
-                    preferred_element_type=jnp.float32)
-    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
-    d2 = qsq[:, None] - 2.0 * ip + cn
-    order = jnp.argsort(d2, axis=1)
-    take = lambda a: jnp.take_along_axis(a, order, axis=1)
-    # term1 = ||q-c||^2 - ||c||^2 = qsq - 2<q,c>  (IndexIVF_HNSW.cpp:277)
-    return (take(d2), take(cand), take(qsq[:, None] - 2.0 * ip),
-            take(g[..., d + 1]), take(g[..., d + 2]))
-
-
 def assign_top1(queries: jax.Array, points: jax.Array, block: int = 65536,
                 precision=None, point_sqnorms: jax.Array | None = None):
     """Nearest-point id for each query (the reference's `assign`,

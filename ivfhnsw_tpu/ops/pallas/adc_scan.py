@@ -130,10 +130,9 @@ def _probe_schedule(probes, qc_dists, centroid_norms, tile_offsets,
 
 def _probe_schedule_fields(sizes_f, tile_off_f, term1, max_codes, n: int,
                            gran: int):
-    """Schedule expansion from PRE-GATHERED per-probe fields (f32; see
-    coarse_select_rerank_ext, which serves them from the same row gather
-    as the coarse rerank — separate gathers measured ~25 us/q at
-    nc=2^17)."""
+    """Schedule expansion from PRE-GATHERED per-probe fields (f32; the
+    routed path serves them from the same row gather as probe selection —
+    separate gathers measured ~25 us/q at nc=2^17)."""
     B, P = term1.shape
     sizes = sizes_f.astype(jnp.int32)
     tile_off = tile_off_f
@@ -870,7 +869,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
                        coarse_recall: float = 0.95,
                        layout: str = "chunk",
                        two_phase: bool = False,
-                       ext_table=None, routed=None, routed_w: int = 0):
+                       routed=None, routed_w: int = 0):
     """Whole-query-set search in ONE launch: queries [G, B, d] are processed
     by lax.map over G sub-batches of the fused core. Remote-tunnel dispatch
     costs ~ms per launch, so one mega-launch at 8k+ queries is worth
@@ -882,7 +881,7 @@ def pallas_search_many(queries, centroids, centroid_norms, codebooks,
             nprobe=nprobe, k=k, nch=nch, coarse_block=coarse_block,
             use_opq=use_opq, interpret=interpret, precision=precision,
             coarse_approx=coarse_approx, coarse_recall=coarse_recall,
-            layout=layout, two_phase=two_phase, ext_table=ext_table,
+            layout=layout, two_phase=two_phase,
             routed=routed, routed_w=routed_w)
 
     return jax.lax.map(one, queries)
@@ -903,7 +902,7 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
                        coarse_recall: float = 0.95,
                        layout: str = "chunk",
                        two_phase: bool = False,
-                       ext_table=None, routed=None, routed_w: int = 0):
+                       routed=None, routed_w: int = 0):
     """End-to-end IVFADC search step on the Pallas engine, fused into ONE
     XLA program (per-op dispatch through the remote-TPU tunnel costs ~ms, so
     the whole coarse -> LUT -> schedule -> scan -> top-k chain must be a
@@ -917,14 +916,12 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
     two-level ROUTED coarse path (ops.routed_coarse): probe selection and
     all schedule metadata come from w gathered super blocks — no full-nc
     reduction and no per-probe pack gather at all."""
-    from ivfhnsw_tpu.ops.distances import (coarse_select_rerank,
-                                           coarse_select_rerank_ext,
-                                           streaming_topk_l2)
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
     gran = RCHUNK if layout == "quad" else CHUNK
     # Coarse selection: plain streaming approx_min_k, or the routed
     # two-level path when a routing structure is supplied. Two further
     # measured alternatives LOST end-to-end at nc=2^17/B=1024/nprobe=128
-    # and are kept only as opt-in utilities (ops.distances):
+    # and were deleted (round 3; see git history for the implementations):
     #   - coarse_select_rerank (bf16 cut + exact rerank): approx_min_k's
     #     REDUCTION, not matmul precision, is the 28 us/q cost (HIGHEST
     #     29.8 vs default-precision 28.4), and the [B, P, d] centroid
@@ -938,13 +935,6 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
         from ivfhnsw_tpu.ops.routed_coarse import routed_select_ext
         qc_dists, probes, term1, sz_f, toff_f = routed_select_ext(
             queries, *routed, nprobe=nprobe, w=routed_w)
-        st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
-                                            max_codes, nch, gran)
-    elif ext_table is not None and coarse_approx:
-        qc_dists, probes, term1, sz_f, toff_f = coarse_select_rerank_ext(
-            queries, centroids, ext_table, nprobe, block=coarse_block,
-            point_sqnorms=centroid_norms, recall_target=coarse_recall,
-            precision=precision)
         st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
                                             max_codes, nch, gran)
     else:

@@ -178,18 +178,19 @@ def routed_select_ext(queries, supers, super_sqn, table, *, nprobe: int,
     """Routed probe selection with fused schedule metadata.
 
     queries [B, d]; supers [S, d]; super_sqn [S]; table [S, cap, d+4]
-    (see RoutedCoarse.build_table). Returns the coarse_select_rerank_ext
-    contract: (qc_dists, probes i32, term1, sizes_f, tile_off_f), all
-    [B, nprobe], ascending by exact candidate distance.
+    (see RoutedCoarse.build_table). Returns (qc_dists, probes i32, term1,
+    sizes_f, tile_off_f), all [B, nprobe], ascending by exact candidate
+    distance — probe selection and all scan-schedule metadata from ONE
+    row gather (see adc_scan._probe_schedule_fields).
 
     ``w`` = supers probed per query (the efSearch analog); requires
     w * cap >= nprobe. Candidate scoring runs at ``precision`` (HIGH =
     f32-fidelity 3-pass by default — term1 feeds the ADC bias directly)."""
     B, d = queries.shape
     S, cap, dc = table.shape
+    w = min(w, S)  # clamp BEFORE validating: w > S must not mask w*cap < nprobe
     if w * cap < nprobe:
         raise ValueError(f"w*cap = {w}*{cap} < nprobe={nprobe}")
-    w = min(w, S)
     qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
 
     sip = jax.lax.dot_general(

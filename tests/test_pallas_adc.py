@@ -220,10 +220,10 @@ def test_two_phase_small_k_edge(built):
 
 @pytest.mark.parametrize("layout", ["chunk", "quad"])
 def test_coarse_approx_ext_path(built, layout):
-    """coarse_mode='approx' routes through coarse_select_rerank_ext (one
-    extended-table gather serving rerank + schedule). With recall_target
-    ~1.0 on a small centroid set the probe cut matches exact coarse, so
-    results must agree with the exact-coarse engine."""
+    """coarse_mode='approx' routes through streaming_topk_l2's approx_min_k
+    path inside the fused kernel. With recall_target ~1.0 on a small
+    centroid set the probe cut matches exact coarse, so results must agree
+    with the exact-coarse engine."""
     idx, queries = built
     prev = idx.engine, idx.scan_layout
     try:

@@ -119,23 +119,36 @@ def main():
     base_s = meta.get("seconds_so_far", 0.0)
     done0 = build.processed
     last_log = t0
+    use_routed = not meta.get("routed_abandoned", False)
     while build.processed < args.target:
         bi = build.processed // bs
         n = min(bs, args.target - build.processed)
         blk = gen_dev(jr.PRNGKey(SEED_BASE + bi), n)
-        keys = idx._fast_assigner.assign_device(blk)
+        if use_routed:
+            keys = idx._fast_assigner.assign_device(blk)
+        else:
+            keys = jnp.asarray(idx._assign_device_exact(blk))
         codes, ncodes = idx._encode_batch(blk, jnp.asarray(keys))
         xids = np.arange(build.processed, build.processed + n,
                          dtype=np.int32)
         build.add_precomputed(np.asarray(keys), xids, np.asarray(codes),
                               np.asarray(ncodes))
-        if bi % 32 == 0:
+        if use_routed and bi % 32 == 0:
             samp = blk[:1024]
             ek = idx._assign_device_exact(samp)
             rk = idx._fast_assigner.assign_device(samp)
             rate = float((np.asarray(rk) == ek).mean())
             meta["drift_series"].append(
                 {"batch": bi, "match_rate": round(rate, 4)})
+            if rate < 0.98:
+                # Same policy as the scale3 bench stage: a drifting router
+                # must not misassign the rest of a multi-hour run — switch
+                # to exact assignment and record the abandonment.
+                use_routed = False
+                meta["routed_abandoned"] = True
+                meta["routed_abandoned_at_batch"] = bi
+                print(f"drift {rate:.4f} < 0.98 gate at batch {bi}; "
+                      "falling back to EXACT assignment", flush=True)
         if time.time() - last_log > 60:
             el = time.time() - t0
             rate_v = (build.processed - done0) / el
