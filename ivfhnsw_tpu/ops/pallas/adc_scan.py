@@ -38,16 +38,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ivfhnsw_tpu.ops.topk import topk_smallest
+from ivfhnsw_tpu.ops.topk import binned_topk_smallest, topk_smallest
 
 CHUNK = 256
 LUT_ROWS = 24  # 16 PQ subquantizers + 1 norm row + 7 pad rows
 NORM_ROW = 16  # row index of the norm-decode table
-CPS = 8        # chunks processed per grid step (amortizes fixed step costs);
-               # also the out-block sublane count — 8 satisfies the (8,128)
-               # tile rule, so chunk stores are static row writes
-DEPTH = 32     # DMA pipeline slots; must exceed 2*CPS for safe slot reuse;
-               # power of 2 so the slot modulo is a mask, not a division
+CPS = 16       # chunks processed per grid step (amortizes fixed step costs);
+               # also the out-block sublane count — a multiple of 8 keeps
+               # the (8,128) tile rule, so chunk stores are static row
+               # writes. Swept round 3 (tools/kernel_lab.py, v5e): 16/64
+               # measured 218 vs 235 ns/chunk for the round-2 8/32.
+DEPTH = 64     # DMA pipeline slots; must exceed 2*CPS for safe slot reuse;
+               # power of 2 so the slot modulo is a mask, not a division.
+               # 128 slots measured WORSE (243 ns/chunk) — too much VMEM
+               # pressure for no extra latency hiding.
 TL_PACK = 512  # packed metadata: value = tile_idx * TL_PACK + chunk_len;
                # bounds per-shard tiles to 2^31/512 = 4.2M (1.07B codes)
 
@@ -69,8 +73,13 @@ TL_PACK = 512  # packed metadata: value = tile_idx * TL_PACK + chunk_len;
 QROWS = 72       # 64 interleaved code rows + 4 norm rows + 4 pad rows
 QNORM_ROW = 64   # rows 64..67 hold chunk 0..3 norm codes
 RCHUNK = 4 * CHUNK
-CPSQ = 2         # quad tiles per grid step -> 8 chunk rows out per step
-DEPTH_Q = 8      # quad DMA pipeline slots (> 2*CPSQ)
+CPSQ = 8         # quad tiles per grid step -> 32 chunk rows out per step.
+                 # Swept round 3 (tools/kernel_lab.py, v5e): cpsq/depth
+                 # 8/32 measured 173-174 ns/chunk vs 233 for the round-2
+                 # 2/8 (4/16 was 174-188) — the per-STEP scalar fixed cost
+                 # is the scan's floor, so amortizing it over 4x the DMAs
+                 # is a ~25% kernel cut at every geometry.
+DEPTH_Q = 32     # quad DMA pipeline slots (> 2*CPSQ)
 RTL_PACK = 2048  # packed schedule: qtile * RTL_PACK + len (len <= RCHUNK);
                  # bounds per-shard quad tiles to 2^31/2048 = 1.05M (1.07B
                  # codes — same corpus bound as the chunk layout)
@@ -340,10 +349,13 @@ def adc_search_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
     Returns (dists [B, k], labels [B, k] int32)."""
     dists = adc_scan_tiles(luts_ext, chunk_tile, chunk_len, chunk_bias,
                            tiles, interpret=interpret)
-    # NOTE: flat lax.top_k measured faster than binned_topk_smallest at
-    # these widths on v5e (0.96 vs 0.99 us/q at 20k lanes) — see
-    # tools/quad_probe.py.
-    best, sel = topk_smallest(dists, k)
+    # Binned top-k: flat lax.top_k is sort-bound LINEAR in width (robustly
+    # re-measured round 3 with distinct buffers + scalar-pull sync,
+    # tools/topk_probe.py: at k=10 flat/bin32 = 1.45/1.07 us/q at 20k
+    # lanes, 2.05/0.88 at 54k, 9.37/3.52 at 170k; k=100: 59/12 at 170k).
+    # bin_size=32 won or tied at every production width; binned_topk
+    # falls back to flat when k > n/32.
+    best, sel = binned_topk_smallest(dists, k, bin_size=32)
     chunk_of = sel // CHUNK
     within = sel % CHUNK
     tile_sel = jnp.take_along_axis(chunk_tile, chunk_of, axis=1)
@@ -489,7 +501,8 @@ def adc_search_quad(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
     luts_quad = build_luts_quad(luts_ext)
     dists = adc_scan_quad(luts_quad, qtile, qlen, qbias, qtiles,
                           interpret=interpret)
-    best, sel = topk_smallest(dists, k)
+    # bin32 top-k — see the adc_search_tiles note for the measurements.
+    best, sel = binned_topk_smallest(dists, k, bin_size=32)
     quad_of = sel // RCHUNK
     within = sel % RCHUNK
     qtile_sel = jnp.take_along_axis(qtile, quad_of, axis=1)
@@ -523,8 +536,10 @@ def adc_search_quad(luts_ext, qtile, qlen, qbias, qtiles, ids_aligned,
 # so phase 2 never double-counts a lane.
 # ---------------------------------------------------------------------------
 
-SPB_C = 128   # chunk-min kernel: grid steps per out tile (1024 chunk minima)
-SPB_Q = 512   # quad-min kernel: grid steps per out tile (1024 quad minima)
+SPB_C = 128             # chunk-min kernel: grid steps per out tile
+                        # ([CPS, 128] = CPS*128 chunk minima per tile)
+SPB_Q = 1024 // CPSQ    # quad-min kernel: grid steps per [8, 128] out tile
+                        # (CPSQ quad minima per step, 1024 per tile)
 
 
 def _adc_kernel_min(tl_smem, luts_ref, tiles_hbm, out_ref, rows, acc,
@@ -746,9 +761,10 @@ def _adc_kernel_quad_min(qtl_smem, luts_ref, qtiles_hbm, out_ref, rows,
     minima = jnp.min(rows[:, :], axis=1)                       # [CPSQ*4]
     qmin = jnp.min(minima.reshape(CPSQ, 4), axis=1)            # [CPSQ]
     # Place quad q = j*CPSQ + i at (sublane q%8, lane (q//8)%128) of the
-    # [8, 128] minima tile (1024 quads per out tile). Both of this step's
-    # quads share lane (j//4)%128 and occupy sublanes s0, s0+1 with
-    # s0 = (j*CPSQ)%8 — static masked select, no dynamic stores.
+    # [8, 128] minima tile (1024 quads per out tile). This step's CPSQ
+    # quads occupy sublanes s0..s0+CPSQ-1 (s0 = (j*CPSQ)%8; CPSQ <= 8
+    # divides 8, so a step never straddles lanes) at lane (j*CPSQ//8)%128
+    # — static masked selects, no dynamic stores.
     @pl.when(jax.lax.rem(j, SPB_Q) == 0)
     def _():
         acc[:, :] = jnp.full((8, 128), jnp.inf)
@@ -756,8 +772,9 @@ def _adc_kernel_quad_min(qtl_smem, luts_ref, qtiles_hbm, out_ref, rows,
     ln_q = jax.lax.rem((j * CPSQ) // 8, 128)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    col = jnp.where(sub_ids == s0, qmin[0],
-                    jnp.where(sub_ids == s0 + 1, qmin[1], jnp.inf))
+    col = jnp.full((8, 128), jnp.inf)
+    for t in range(CPSQ):
+        col = jnp.where(sub_ids == s0 + t, qmin[t], col)
     tile_j = jnp.where(lane_ids == ln_q, col, jnp.inf)
     acc[:, :] = jnp.minimum(acc[:, :], tile_j)
 

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ivfhnsw_tpu.ops.pallas.adc_scan import (CHUNK, CPS, DEPTH, LUT_ROWS,
                                              TL_PACK, build_luts_ext)
-from ivfhnsw_tpu.ops.topk import topk_smallest
+from ivfhnsw_tpu.ops.topk import binned_topk_smallest
 
 SUBC_ROW = 17
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -334,7 +334,9 @@ def grouping_pallas_search_core(
     dists = (dists.reshape(B, nch, CHUNK)
              + bias[:, :, None]).reshape(B, nch * CHUNK)
 
-    best, sel = topk_smallest(dists, k)
+    # bin32 top-k over the wide masked output — flat lax.top_k is
+    # sort-bound linear in width (see adc_scan.adc_search_tiles note).
+    best, sel = binned_topk_smallest(dists, k, bin_size=32)
     chunk_of = sel // CHUNK
     within = sel % CHUNK
     tile_sel = jnp.take_along_axis((tl // TL_PACK), chunk_of, axis=1)
