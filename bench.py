@@ -1018,14 +1018,28 @@ def coarse_overlap_control(idx, queries, nprobe: int, n_ctl: int = 64):
 
 
 def routed_setup(idx, queries, nprobe: int, sdir: str, n_ctl: int = 256,
-                 target: float = 0.97):
+                 target: float = 0.97, max_codes: int | None = None,
+                 rs_target: float = 0.99):
     """Enable ROUTED two-level coarse selection (ops.routed_coarse) on a
     cached index and adaptively pick ``w`` (supers probed per query — the
     efSearch analog): the smallest of (16, 32, 64) whose probe-set overlap
-    vs the exact sweep reaches ``target`` on a query subset. The routing
-    structure (k-means supers + tight partition) and the chosen {w,
-    overlap} persist in ``sdir`` so reruns skip both the k-means and the
-    sweep. Returns (w, overlap)."""
+    vs the exact sweep reaches ``target`` on a query subset.
+
+    Probe overlap is a PESSIMISTIC proxy: the probes routing misses are
+    the farthest-ranked ones — exactly those the max_codes budget
+    truncates anyway (reference semantics IndexIVF_HNSW.cpp:290-292). So
+    when the overlap sweep misses ``target``, fall through to the gate
+    that matters: mean per-query top-100 RESULT-SET overlap vs the
+    exact-coarse path at the real operating point (needs ``max_codes``).
+    ≥ ``rs_target`` bounds any recall@k≤100 shift to (1-rs_target)
+    relative, which is below measurement noise. This mirrors the
+    reference, which accepts HNSW's approximate probe sets wholesale
+    (efSearch) without any overlap guarantee.
+
+    The routing structure (k-means supers + tight partition) and the
+    chosen {w, overlap, result_overlap} persist in ``sdir`` so reruns
+    skip the k-means, the sweep, and the control searches. Returns
+    (w, overlap)."""
     import jax
     import jax.numpy as jnp
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
@@ -1038,11 +1052,14 @@ def routed_setup(idx, queries, nprobe: int, sdir: str, n_ctl: int = 256,
     if os.path.exists(p_json):
         with open(p_json) as f:
             d = json.load(f)
-        if d["w"] == 0:                  # cached verdict: routing too lossy
-            idx._routed_coarse = None
-        else:
-            idx.routed_w = d["w"]
-        return d["w"], d["overlap"]
+        stale = (d["w"] == 0 and max_codes is not None
+                 and "result_overlap" not in d)  # pre-result-gate verdict
+        if not stale:
+            if d["w"] == 0:              # cached verdict: routing too lossy
+                idx._routed_coarse = None
+            else:
+                idx.routed_w = d["w"]
+            return d["w"], d["overlap"]
 
     q = jnp.asarray(queries[:n_ctl])
     _, exact = streaming_topk_l2(q, idx.centroids, nprobe,
@@ -1063,15 +1080,69 @@ def routed_setup(idx, queries, nprobe: int, sdir: str, n_ctl: int = 256,
         w, overlap = w_try, ov
         if ov >= target:
             break
-    if overlap < 0.95:                   # hard floor: routing too lossy
-        log(f"  routed coarse overlap {overlap:.4f} < 0.95 even at w={w}; "
-            "falling back to approx coarse")
+    rs_overlap = None
+    if overlap < 0.95 and max_codes is not None:
+        # Result-set gate at the real operating point (see docstring).
+        n_rs = min(queries.shape[0], 1024)
+        p_ex = SearchParams(k=100, nprobe=nprobe, max_codes=max_codes,
+                            coarse_mode="exact")
+        _, l_ex = idx.search(queries[:n_rs], p_ex, batch=256)
+        l_ex = np.asarray(l_ex)
+        p_rt = SearchParams(k=100, nprobe=nprobe, max_codes=max_codes,
+                            coarse_mode="routed")
+        for w_try in (16, 32, 64):
+            idx.routed_w = w_try
+            _, l_rt = idx.search(queries[:n_rs], p_rt, batch=256)
+            l_rt = np.asarray(l_rt)
+            rs = float(np.mean([
+                np.intersect1d(l_ex[i][l_ex[i] >= 0],
+                               l_rt[i][l_rt[i] >= 0]).size / 100.0
+                for i in range(n_rs)]))
+            log(f"  routed coarse w={w_try}: top-100 result overlap "
+                f"{rs:.4f} vs exact")
+            w, rs_overlap = w_try, rs
+            if rs >= rs_target:
+                break
+    if overlap < 0.95 and (rs_overlap is None or rs_overlap < rs_target):
+        log(f"  routed coarse too lossy (probe overlap {overlap:.4f}"
+            + (f", result overlap {rs_overlap:.4f}" if rs_overlap else "")
+            + "); falling back to approx coarse")
         idx._routed_coarse = None
         w = 0
-    else:
+    if w:
+        # Perf condition: adoption must also WIN on time. tools/scale_probe
+        # measured approx coarse at only 3.5 us/q at scale2 (nc=2^17) with
+        # routed at 20.6 — routing pays a [B, w, cap, d+4] block gather
+        # that the flat approx sweep doesn't, so accuracy alone must not
+        # adopt it.
+        import jax.numpy as jnp
         idx.routed_w = w
+        n_t = min(queries.shape[0], 512)
+        qd = jnp.asarray(queries[:n_t])
+        times = {}
+        for mode in ("approx", "routed"):
+            pm = SearchParams(k=K, nprobe=nprobe,
+                              max_codes=max_codes or 0, coarse_mode=mode)
+
+            def f():
+                d_, _ = idx.search_device(qd, pm)
+                float(jnp.min(d_))   # scalar pull: block_until_ready lies
+                                     # through the dev tunnel (see timed_qps)
+            f()
+            t0 = time.perf_counter(); f(); f()
+            times[mode] = (time.perf_counter() - t0) / 2
+        log(f"  routed timing: approx {times['approx']*1e6/n_t:.1f} vs "
+            f"routed {times['routed']*1e6/n_t:.1f} us/q")
+        if times["routed"] > times["approx"]:
+            log("  routed coarse SLOWER than approx at this geometry; "
+                "not adopting")
+            idx._routed_coarse = None
+            w = 0
+    rec = {"w": w, "overlap": round(overlap, 4)}
+    if rs_overlap is not None:
+        rec["result_overlap"] = round(rs_overlap, 4)
     with open(p_json, "w") as f:
-        json.dump({"w": w, "overlap": round(overlap, 4)}, f)
+        json.dump(rec, f)
     return w, overlap
 
 
@@ -1373,7 +1444,8 @@ def main():
         s2idx, s2q, s2gt, s2meta = build_scale2(key)
         log("scale2: routed coarse setup ...")
         s2_w, s2_ovl = routed_setup(s2idx, s2q, S2_NPROBE,
-                                    os.path.join(CACHE, "scale2"))
+                                    os.path.join(CACHE, "scale2"),
+                                    max_codes=S2_MC)
         sp2 = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC)
         # Profile-guided scan budget: shrink the static slot allocation
         # from the worst-case bound to this workload's measured max demand
@@ -1386,14 +1458,19 @@ def main():
         sp2 = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC,
                            scan_budget=s2_dem * gran2)
         log("scale2: warmup + timed runs ...")
+        # depth=8: per-launch fixed cost through the dev tunnel is ~30 ms
+        # (dispatch + completion sync), which depth=2 left as +26 us/q on a
+        # ~60 ms exec — measured depth 2/4/8 = 84.9/66.1/62.4 us/q (round
+        # 3). In-flight args are 0.5 MB each and XLA temps are allocated
+        # per-execution, so deep pipelining costs no meaningful HBM.
         s2_qps, s2_labels = timed_qps(s2idx, s2q, sp2, runs=2, reshape=None,
-                                      depth=2)
+                                      depth=8)
         log("scale2: approx-coarse comparison run ...")
         sp2_ap = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC,
                               coarse_mode="approx",
                               scan_budget=s2_dem * gran2)
         s2_qps_ap, _ = timed_qps(s2idx, s2q, sp2_ap, runs=1, reshape=None,
-                                 depth=2)
+                                 depth=8)
         s2rec = recall_at_k(s2_labels, s2gt, ks=(1, 10))
         sp2_100 = SearchParams(k=100, nprobe=S2_NPROBE, max_codes=S2_MC,
                                scan_budget=s2_dem * gran2)
@@ -1503,7 +1580,8 @@ def main():
         s3idx, s3q, s3gt, s3meta = build_scale3(key)
         log("scale3: routed coarse setup ...")
         s3_w, s3_ovl = routed_setup(s3idx, s3q, S3_NPROBE,
-                                    os.path.join(CACHE, "scale3"))
+                                    os.path.join(CACHE, "scale3"),
+                                    max_codes=S3_MC)
         sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC)
         s3_worst = s3idx._pallas_nch(sp3, S3_NPROBE)
         s3_dem = int(s3idx.scan_slot_demand(s3q, sp3).max())
@@ -1514,13 +1592,13 @@ def main():
                            scan_budget=s3_dem * gran3)
         log("scale3: warmup + timed runs ...")
         s3_qps, s3_labels = timed_qps(s3idx, s3q, sp3, runs=2, reshape=None,
-                                      depth=2)
+                                      depth=8)
         log("scale3: approx-coarse comparison run ...")
         sp3_ap = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,
                               coarse_mode="approx",
                               scan_budget=s3_dem * gran3)
         s3_qps_ap, _ = timed_qps(s3idx, s3q, sp3_ap, runs=1, reshape=None,
-                                 depth=2)
+                                 depth=8)
         s3rec = recall_at_k(s3_labels, s3gt, ks=(1, 10))
         sp3_100 = SearchParams(k=100, nprobe=S3_NPROBE, max_codes=S3_MC,
                                scan_budget=s3_dem * gran3)
