@@ -609,6 +609,123 @@ def _variant_call(kernel, luts_ext, chunk_tile, chunk_len, chunk_bias,
     )(tl, luts_ext, tiles)
 
 
+def _adc_kernel_cps(tl_smem, luts_ref, tiles_hbm, out_ref, scratch, sems,
+                    *, cps, depth, batched_wait=False):
+    """Production chunk kernel parametrized over (chunks per grid step,
+    DMA pipeline depth, wait placement) — the chunk-layout analog of the
+    quad cpsq/depth sweep."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    nch = nsteps * cps
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(tiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    def start_for(gg):
+        bb = gg // nch
+        cc = jax.lax.rem(gg, nch)
+        tl = tl_smem[bb, cc]
+
+        @pl.when(jax.lax.rem(tl, TL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(gg, depth), tl // TL_PACK).start()
+
+    g0 = b * nch + j * cps
+
+    @pl.when(g0 == 0)
+    def _():
+        for w in range(depth - cps):
+            @pl.when(w < nb * nch)
+            def _():
+                start_for(jnp.int32(w))
+
+    for i in range(cps):
+        @pl.when(g0 + depth - cps + i < nb * nch)
+        def _():
+            start_for(g0 + depth - cps + i)
+
+    if batched_wait:
+        for i in range(cps):
+            g = g0 + i
+            tl = tl_smem[b, j * cps + i]
+
+            @pl.when(jax.lax.rem(tl, TL_PACK) > 0)
+            def _():
+                dma(jax.lax.rem(g, depth), tl // TL_PACK).wait()
+
+    lut = luts_ref[0]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+    def half(idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(lut0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(lut1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
+
+    for i in range(cps):
+        g = g0 + i
+        tl = tl_smem[b, j * cps + i]
+        ln = jax.lax.rem(tl, TL_PACK)
+
+        @pl.when(ln > 0)
+        def _():
+            if not batched_wait:
+                dma(jax.lax.rem(g, depth), tl // TL_PACK).wait()
+            idx = scratch[jax.lax.rem(g, depth)].astype(jnp.int32)
+            gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
+                                 axis=1)
+            out_ref[0, i, :] = jnp.sum(gg, axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cps", "depth", "batched_wait"))
+def adc_scan_tiles_cps(luts_ext, chunk_tile, chunk_len, chunk_bias, tiles,
+                       cps: int = CPS, depth: int = DEPTH,
+                       batched_wait: bool = False):
+    """Parametrized chunk scan (wide output, masked like production)."""
+    B, nch = chunk_tile.shape
+    if nch % cps:
+        pad = cps - nch % cps
+        chunk_tile = jnp.pad(chunk_tile, ((0, 0), (0, pad)))
+        chunk_len = jnp.pad(chunk_len, ((0, 0), (0, pad)))
+        chunk_bias = jnp.pad(chunk_bias, ((0, 0), (0, pad)))
+        nch += pad
+    tl = chunk_tile * TL_PACK + chunk_len
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nch // cps),
+        in_specs=[
+            pl.BlockSpec((1, LUT_ROWS, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, cps, CHUNK),
+                               lambda b, j, *_: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((depth, LUT_ROWS, CHUNK), jnp.uint8),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_adc_kernel_cps, cps=cps, depth=depth,
+                          batched_wait=batched_wait),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nch, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(tl, luts_ext, tiles)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    out = jnp.where(lane[None, None, :] < chunk_len[:, :, None],
+                    out + chunk_bias[:, :, None], jnp.inf)
+    return out.reshape(B, nch * CHUNK)
+
+
 def main():
     from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
@@ -628,13 +745,18 @@ def main():
     queries = np.load(os.path.join(CACHE, "queries.npy"))[:B]
     q = jnp.asarray(queries)
 
-    nch = idx._pallas_nch(params, NPROBE)
-    args = idx._pallas_args()
-    (centroids, centroid_norms, codebooks, norm_centroids, R,
-     tiles, ids_aligned, tile_offsets, list_sizes) = args
+    # Chunk-layout store EXPLICITLY: the index's auto layout resolves to
+    # quad at this geometry (488 codes/list >= 416), but the chunk-path
+    # experiments below need per-chunk tiles.
+    centroids, centroid_norms = idx.centroids, idx.centroid_norms
+    codebooks, norm_centroids = idx.pq.codebooks, idx.norm_pq.centroids
     mc = jnp.int32(MAX_CODES)
     store = idx._ensure_store()
+    _tl = store.tiled()
+    tiles, ids_aligned = _tl.tiles, _tl.ids_aligned
+    tile_offsets, list_sizes = _tl.tile_offsets, _tl.list_sizes
     mx = store.max_list_size()
+    nch = (MAX_CODES + mx) // CHUNK + NPROBE + 1  # chunk-granular worst case
     nrun = (MAX_CODES + mx) // RCHUNK + NPROBE + 1
     tiles_padded = jnp.concatenate(
         [tiles, jnp.zeros((RUN - 1,) + tiles.shape[1:], jnp.uint8)])
@@ -755,7 +877,9 @@ def main():
     print(f"pre_quad: {ms_pre_q:.2f} ms ({ms_pre_q*1e3/B:.2f} us/q)")
 
     for cpsq, depth, arith in ((2, 8, True), (4, 16, False), (4, 16, True),
-                               (2, 16, False), (8, 32, True)):
+                               (2, 16, False), (8, 32, True),
+                               (4, 32, False), (8, 32, False),
+                               (4, 16, False)):
         @functools.partial(jax.jit, static_argnames=())
         def kq(lq, qt_, ql_, qb_, _c=cpsq, _d=depth, _a=arith):
             return adc_scan_quad(lq, qt_, ql_, qb_, qtiles,
@@ -767,6 +891,24 @@ def main():
         print(f"quad cpsq={cpsq} depth={depth} arith={arith}: "
               f"{msv:.2f} ms ({msv*1e3/B:.2f} us/q, "
               f"{msv*1e6/B/realq:.0f} ns/chunk) match={okv}")
+
+    # chunk layout: (cps, depth, batched_wait) sweep of the production
+    # kernel shape — the per-unit-floor lever for chunk-layout geometries
+    # (scale3: 212 profiled chunk slots at nc=2^20).
+    for cps_, dep_, bw_ in ((8, 32, False), (16, 64, False),
+                            (16, 128, False), (8, 64, False),
+                            (32, 128, False), (16, 64, False)):
+        @functools.partial(jax.jit, static_argnames=())
+        def kc(luts, ct, cl, cb, _c=cps_, _d=dep_, _b=bw_):
+            return adc_scan_tiles_cps(luts, ct, cl, cb, tiles,
+                                      cps=_c, depth=_d, batched_wait=_b)
+        dv = jax.block_until_ready(kc(luts, ct, cl, cb))
+        av = np.sort(np.asarray(dv), axis=1)[:, :MAX_CODES]
+        okv = np.allclose(a1, av, atol=1e-3)
+        msv = marginal_ms(kc, luts, ct, cl, cb)
+        print(f"chunk cps={cps_} depth={dep_} bw={bw_}: "
+              f"{msv:.2f} ms ({msv*1e3/B:.2f} us/q, "
+              f"{msv*1e6/B/real:.0f} ns/chunk) match={okv}")
 
 
 if __name__ == "__main__":

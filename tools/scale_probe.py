@@ -65,25 +65,43 @@ def main():
     print(f"backend: {jax.default_backend()}  stage={args.stage} "
           f"nc={idx.nc} B={B} nprobe={NPROBE} mc={MC}", file=sys.stderr)
 
+    # Big operands are passed as explicit jit ARGUMENTS (closing over
+    # multi-GB arrays triggers jax's captured-constants lowering path,
+    # which fingerprints gigabytes per compile — observed to stall this
+    # probe for 20+ minutes at scale2).
     centroids, centroid_norms = idx.centroids, idx.centroid_norms
     codebooks, norm_centroids = idx.pq.codebooks, idx.norm_pq.centroids
     mc = jnp.int32(MC)
     layout = idx._resolve_layout()
     store = idx._ensure_store()
     tiled = store.quad() if layout == "quad" else store.tiled()
-    nch = idx._pallas_nch(params, NPROBE)
+    tiles = tiled.tiles
+    # Profiled slot budget, like the bench's timed stages — the worst-case
+    # bound's [B, nch] SMEM schedule exceeds the 1 MB SMEM limit at
+    # B=1024 x 319 slots.
+    nch_worst = idx._pallas_nch(params, NPROBE)
+    nch = int(idx.scan_slot_demand(queries[:B], params).max())
     gran = pk.RCHUNK if layout == "quad" else pk.CHUNK
-    print(f"layout={layout} nch={nch} ({nch * gran} lanes)")
+    params = SearchParams(k=K, nprobe=NPROBE, max_codes=MC,
+                          scan_budget=nch * gran)
+    # SMEM cap: the [B, nch] scalar-prefetch schedule must fit 1 MB —
+    # clamp the probe batch the same way search_device sub-batches.
+    cap = idx._pallas_batch_cap(idx._pallas_nch(params, NPROBE))
+    while B > cap:
+        B //= 2
+    q = jnp.asarray(queries[:B])
+    print(f"layout={layout} nch={nch} (worst {nch_worst}; "
+          f"{nch * gran} lanes) B={B}")
 
     cb = idx._coarse_block_for(B)
 
     @jax.jit
-    def coarse_exact(q):
+    def coarse_exact(q, centroids, centroid_norms):
         return streaming_topk_l2(q, centroids, NPROBE, block=cb,
                                  point_sqnorms=centroid_norms, precision=HI)
 
     @jax.jit
-    def coarse_approx(q):
+    def coarse_approx(q, centroids, centroid_norms):
         return streaming_topk_l2(q, centroids, NPROBE, block=cb,
                                  point_sqnorms=centroid_norms, precision=HI,
                                  approx=True, recall_target=0.95)
@@ -100,9 +118,10 @@ def main():
     print(f"routed: w={rw} n_super={idx._routed_coarse.n_super} "
           f"cap={idx._routed_coarse.cap}")
 
-    @jax.jit
-    def coarse_routed(q):
-        return routed_select_ext(q, *routed, nprobe=NPROBE, w=rw)
+    @functools.partial(jax.jit, static_argnames=("w",))
+    def coarse_routed(q, supers, super_sqn, table, w):
+        return routed_select_ext(q, supers, super_sqn, table,
+                                 nprobe=NPROBE, w=w)
 
     @jax.jit
     def luts_fn(q):
@@ -111,38 +130,41 @@ def main():
     meta_fn = pk.quad_metadata if layout == "quad" else pk.chunk_metadata
 
     @jax.jit
-    def schedule(q):
-        qc, probes = coarse_approx(q)
-        return meta_fn(probes, qc, centroid_norms, tiled.tile_offsets,
-                       tiled.list_sizes, mc, nch)
+    def schedule(q, centroids, centroid_norms, tile_offsets, list_sizes):
+        qc, probes = coarse_approx(q, centroids, centroid_norms)
+        return meta_fn(probes, qc, centroid_norms, tile_offsets,
+                       list_sizes, mc, nch)
 
     luts = jax.block_until_ready(luts_fn(q))
-    st, sl, sb = jax.block_until_ready(schedule(q))
+    st, sl, sb = jax.block_until_ready(
+        schedule(q, centroids, centroid_norms, tiled.tile_offsets,
+                 tiled.list_sizes))
 
     if layout == "quad":
-        lq = pk.build_luts_quad(luts)
-
         @jax.jit
-        def kern(luts, st, sl, sb):
+        def kern(luts, st, sl, sb, tiles):
             return pk.adc_scan_quad(pk.build_luts_quad(luts), st, sl, sb,
-                                    tiled.tiles)
+                                    tiles)
     else:
         @jax.jit
-        def kern(luts, st, sl, sb):
-            return pk.adc_scan_tiles(luts, st, sl, sb, tiled.tiles)
+        def kern(luts, st, sl, sb, tiles):
+            return pk.adc_scan_tiles(luts, st, sl, sb, tiles)
 
-    d = jax.block_until_ready(kern(luts, st, sl, sb))
+    d = jax.block_until_ready(kern(luts, st, sl, sb, tiles))
     print(f"kernel output width: {d.shape[1]} lanes")
     tk = jax.jit(functools.partial(topk_smallest, k=K))
     jax.block_until_ready(tk(d))
 
+    routed_fn = functools.partial(coarse_routed, w=rw)
     for name, fn, a in (
-            ("coarse_exact", coarse_exact, (q,)),
-            ("coarse_approx", coarse_approx, (q,)),
-            ("coarse_routed (+meta)", coarse_routed, (q,)),
+            ("coarse_exact", coarse_exact, (q, centroids, centroid_norms)),
+            ("coarse_approx", coarse_approx, (q, centroids, centroid_norms)),
+            ("coarse_routed (+meta)", routed_fn, (q, *routed)),
             ("luts", luts_fn, (q,)),
-            ("schedule (approx+meta)", schedule, (q,)),
-            ("kernel", kern, (luts, st, sl, sb)),
+            ("schedule (approx+meta)", schedule,
+             (q, centroids, centroid_norms, tiled.tile_offsets,
+              tiled.list_sizes)),
+            ("kernel", kern, (luts, st, sl, sb, tiles)),
             ("topk", tk, (d,)),
     ):
         ms = marginal_ms(fn, *a)
@@ -150,7 +172,8 @@ def main():
 
     # full fused path, approx vs routed
     for mode in ("approx", "routed"):
-        p = SearchParams(k=K, nprobe=NPROBE, max_codes=MC, coarse_mode=mode)
+        p = SearchParams(k=K, nprobe=NPROBE, max_codes=MC, coarse_mode=mode,
+                         scan_budget=nch * gran)
         f = lambda qq: idx.search_device(qq, p)[0]
         jax.block_until_ready(f(q))
         ms = marginal_ms(f, q)
