@@ -1667,11 +1667,20 @@ def main():
 
     # --- 1B assign+encode (tools/build_1b.py writes this artifact; the
     # bench only REPORTS it — the run itself is multi-hour)
+    # A fresh cache artifact wins; otherwise fall back to the committed
+    # RESULTS_1B.json record (the round-3 run's facts survive workspace
+    # re-checkouts that wipe .bench_cache) and say so via build_1b_source.
     p_1b = os.path.join(CACHE, "build1b.json")
+    src_1b = "cache"
+    if not os.path.exists(p_1b):
+        p_1b = os.path.join(ROOT, "RESULTS_1B.json")
+        src_1b = "committed-record"
     if os.path.exists(p_1b):
         with open(p_1b) as f:
             b1 = json.load(f)
         drift1b = b1.get("drift_series", [])
+        drift_min = (round(min(d["match_rate"] for d in drift1b), 4)
+                     if drift1b else b1.get("drift_min_match_rate"))
         result.update({
             "build_1b_vectors": b1.get("processed"),
             "build_1b_seconds": b1.get("build_seconds"),
@@ -1679,9 +1688,8 @@ def main():
             "build_1b_fraction": b1.get("fraction_of_1b"),
             "build_1b_resumes": b1.get("resumes"),
             "build_1b_partial": b1.get("partial", False),
-            "build_1b_drift_min_match_rate": (
-                round(min(d["match_rate"] for d in drift1b), 4)
-                if drift1b else None),
+            "build_1b_drift_min_match_rate": drift_min,
+            "build_1b_source": src_1b,
         })
 
     with open(os.path.join(CACHE, "last_result.json"), "w") as f:

@@ -65,6 +65,14 @@ def _publish(meta, processed: int, target: int, seconds: float,
     with open(tmp, "w") as f:
         json.dump(out, f)
     os.replace(tmp, p)
+    # Mirror completed runs to the committed RESULTS_1B.json so the record
+    # survives workspace re-checkouts that wipe .bench_cache (bench.py
+    # falls back to it, labeled build_1b_source='committed-record').
+    if not partial:
+        p2 = os.path.join(bench.ROOT, "RESULTS_1B.json")
+        with open(p2 + ".tmp", "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(p2 + ".tmp", p2)
 
 
 def main():
