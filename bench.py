@@ -1365,6 +1365,16 @@ def main():
         "scan_slots_profiled": p_dem,
     })
 
+    def checkpoint():
+        """Persist the result-so-far after every stage: a fresh-cache full
+        run is multi-hour, and a killed run must still leave a reportable
+        artifact for the device-unhealthy fallback path."""
+        snap = dict(result)
+        snap["partial_run"] = True
+        with open(os.path.join(CACHE, "last_result.json"), "w") as f:
+            json.dump(snap, f)
+
+    checkpoint()
     idx.release_device()   # free HBM between stages (scale3 OOMed without)
 
     # --- grouping + OPQ (flagship config)
@@ -1399,6 +1409,7 @@ def main():
     except Exception as e:  # keep the primary result robust
         log(f"grouping bench failed: {type(e).__name__}: {e}")
         result["grouping_error"] = str(e)[:200]
+    checkpoint()
     try:
         gidx.release_device()
     except NameError:
@@ -1432,6 +1443,7 @@ def main():
     except Exception as e:
         log(f"scale bench failed: {type(e).__name__}: {e}")
         result["scale_error"] = str(e)[:200]
+    checkpoint()
     try:
         sidx.release_device()
     except NameError:
@@ -1524,6 +1536,7 @@ def main():
     except Exception as e:
         log(f"scale2 bench failed: {type(e).__name__}: {e}")
         result["scale2_error"] = str(e)[:200]
+    checkpoint()
     try:
         s2idx.release_device()
     except NameError:
@@ -1569,6 +1582,7 @@ def main():
     except Exception as e:
         log(f"siftlike bench failed: {type(e).__name__}: {e}")
         result["siftlike_error"] = str(e)[:200]
+    checkpoint()
     try:
         slidx.release_device()
     except NameError:
@@ -1664,6 +1678,7 @@ def main():
     except Exception as e:
         log(f"scale3 bench failed: {type(e).__name__}: {e}")
         result["scale3_error"] = str(e)[:200]
+    checkpoint()
 
     # --- 1B assign+encode (tools/build_1b.py writes this artifact; the
     # bench only REPORTS it — the run itself is multi-hour)
