@@ -1306,6 +1306,22 @@ def main():
     idx, queries, gt = build_primary(key)
     result = {"metric": "ivfadc_search_qps_2M_nprobe32_mc10k",
               "unit": "queries/s", "backend": jax.default_backend()}
+    # Environment telemetry: the dev-tunnel dispatch round-trip and host
+    # speed vary across workspaces (round-3 observed a host where a warm
+    # trivial device op took 100x the round-2 norm); record them so any
+    # cross-round perf delta is attributable to environment vs code.
+    try:
+        import jax.numpy as _jnp
+        _ = float(_jnp.sum(_jnp.ones((8, 8))))       # warm
+        t0 = time.perf_counter()
+        for _i in range(5):
+            _ = float(_jnp.sum(_jnp.ones((8, 8)) * (2 + _i)))
+        result["tunnel_roundtrip_ms"] = round(
+            (time.perf_counter() - t0) / 5 * 1e3, 2)
+        result["host_nproc"] = os.cpu_count()
+        result["host_loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except Exception:
+        pass
 
     # --- primary timed runs (device-resident serving path; the CPU baseline
     # has no transfer cost either — its data sits in RAM. The dev-tunnel's
