@@ -290,18 +290,6 @@ class PostingListStore:
         )
         return self._tiled
 
-    def to_lists(self):
-        """Split back into per-centroid (ids, codes, norm_codes) numpy lists —
-        used by the reference-bit-compatible serializer."""
-        off = np.asarray(self.list_offsets)
-        ids = np.asarray(self.ids)
-        codes = np.asarray(self.codes)
-        ncodes = np.asarray(self.norm_codes)
-        for c in range(self.nc):
-            lo, hi = off[c], off[c + 1]
-            yield ids[lo:hi], codes[lo:hi], ncodes[lo:hi]
-
-
 class PostingListBuilder:
     """Accumulates (centroid key, id, code, norm code) batches; finalize()
     produces a sorted PostingListStore."""

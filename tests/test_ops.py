@@ -164,3 +164,12 @@ def test_streaming_topk_approx_mode(rng):
     np.testing.assert_array_equal(np.asarray(ie), np.asarray(ia))
     d_np = np.asarray(da)
     assert (np.diff(d_np, axis=1) >= -1e-6).all()
+
+
+def test_inner_product_matches_numpy(rng):
+    from ivfhnsw_tpu.ops.distances import inner_product
+    x = rng.rand(9, 24).astype(np.float32)
+    y = rng.rand(17, 24).astype(np.float32)
+    got = np.asarray(inner_product(jnp.asarray(x), jnp.asarray(y),
+                                   precision=HI))
+    np.testing.assert_allclose(got, x @ y.T, rtol=1e-5, atol=1e-5)

@@ -181,3 +181,14 @@ def test_two_host_build_merges_bit_identical(trained, tmp_path):
     got = store_arrays(merged)
     for k in ref_store:
         np.testing.assert_array_equal(got[k], ref_store[k])
+
+
+def test_initialize_distributed_noop_without_env(monkeypatch):
+    """On a single-host box (no JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/
+    PROCESS_ID) the helper must be a no-op returning False, so builds run
+    single-process over the local mesh."""
+    from ivfhnsw_tpu.parallel.pipeline import initialize_distributed
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_distributed() is False
