@@ -1337,7 +1337,11 @@ def main():
     params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                           scan_budget=p_dem * p_gran)
     log("primary: warmup + timed runs ...")
-    qps, labels = timed_qps(idx, queries, params)
+    # depth=8 to match the scale2/scale3 sustained protocol: per-launch
+    # exec here is ~68 ms (8192 q x ~8 us), the same magnitude where the
+    # depth 2/4/8 sweep measured 8 as the sustained winner (the ~30 ms
+    # tunnel dispatch+sync fixed cost amortizes to <0.5 us/q).
+    qps, labels = timed_qps(idx, queries, params, depth=8)
     _, _ = idx.search(queries, params)        # warm the host-path jit
     # Fresh bytes for the timed host-path call (tunnel result-reuse cache —
     # see timed_qps).
@@ -1570,7 +1574,7 @@ def main():
         sl_gran = slidx.scan_unit()
         params_sl = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                                  scan_budget=sl_dem * sl_gran)
-        sl_qps, sll = timed_qps(slidx, slq, params_sl)
+        sl_qps, sll = timed_qps(slidx, slq, params_sl, depth=8)
         slrec = recall_at_k(sll, slgt, ks=(1, 10))
         p100sl = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
                               scan_budget=sl_dem * sl_gran)
