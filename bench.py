@@ -26,7 +26,16 @@ selection/budget; 1 - ceiling = loss from quantization itself.
 Artifacts cache under .bench_cache/ (exists()-gated stages, mirroring the
 reference drivers' resume behavior, test_ivfhnsw_sift1b.cpp:54-162).
 
-Prints ONE JSON line to stdout; progress goes to stderr.
+Output protocol: after EVERY completed stage the cumulative result-so-far
+is printed to stdout as a JSON line tagged partial_run=true (and
+checkpointed atomically to .bench_cache/last_result.json), so a run killed
+or timed out at any point still leaves the driver a parseable artifact
+whose last line carries all completed stages. SIGTERM/SIGINT flush a final
+partial line. A wall-clock budget (BENCH_BUDGET_S, default 3h) skips
+stages whose estimated cost exceeds the remaining budget, with explicit
+skipped_stages markers — a fresh-cache full run is multi-hour by
+construction. The final complete line has no partial_run tag; consumers
+take the LAST parseable line. Progress goes to stderr.
 """
 
 from __future__ import annotations
@@ -68,6 +77,11 @@ S2_NPROBE, S2_MC = 128, 100_000
 S3_NB, S3_NC, S3_NQ = 134_217_728, 1_048_576, 1024
 S3_NPROBE, S3_MC = 128, 100_000
 CORPUS_VERSION = 3  # v3: assignment at f32-fidelity precision
+
+
+class _StageSkipped(Exception):
+    """Raised inside a stage's try block when the wall-clock budget gate
+    declines to run it; skip_stage() has already recorded the marker."""
 
 
 def log(msg):
@@ -1200,7 +1214,13 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
     still reported separately as single_launch runs in the log.)
 
     reshape=None passes 2-D device queries and lets the index pick its
-    own SMEM-safe sub-batching (grouping nch can exceed what B=1024 fits)."""
+    own SMEM-safe sub-batching (grouping nch can exceed what B=1024 fits).
+
+    Returns (sustained_qps, labels, single_launch_us_per_query): the
+    sustained number is the serving metric; the single-launch number is
+    reported alongside it in every stage's fields so the two protocols are
+    never conflated (round-3 advisor finding: a depth-protocol change is
+    part of any cross-round sustained delta)."""
     import jax
     import jax.numpy as jnp
 
@@ -1261,17 +1281,25 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
         best_sus = min(best_sus, dt)
         log(f"  sustained x{depth} run {r}: "
             f"{dt*1e6/queries.shape[0]:.1f} us/q")
-    return queries.shape[0] / best_sus, np.asarray(l_).reshape(
-        queries.shape[0], -1)
+    return (queries.shape[0] / best_sus,
+            np.asarray(l_).reshape(queries.shape[0], -1),
+            best * 1e6 / queries.shape[0])
 
 
 def main():
     last = os.path.join(CACHE, "last_result.json")
     if not device_healthy():
         log("DEVICE UNHEALTHY — reporting last known result (stale)")
+        res = None
         if os.path.exists(last):
-            with open(last) as f:
-                res = json.load(f)
+            try:
+                with open(last) as f:
+                    res = json.load(f)
+            except (json.JSONDecodeError, OSError) as e:
+                # A kill mid-checkpoint can leave truncated JSON; degrade
+                # to the no-cached-result branch instead of crashing.
+                log(f"cached result unreadable ({e}); reporting error stub")
+        if res is not None:
             res["stale"] = True
             print(json.dumps(res))
         else:
@@ -1303,16 +1331,84 @@ def main():
             f.write(str(CORPUS_VERSION))
 
     key = jax.random.PRNGKey(0)
-    idx, queries, gt = build_primary(key)
     result = {"metric": "ivfadc_search_qps_2M_nprobe32_mc10k",
               "unit": "queries/s", "backend": jax.default_backend()}
+
+    # -- evidence machinery (VERDICT r3 item 1): a run killed at ANY point
+    # must leave the driver a parseable cumulative artifact.
+    stages_done: list[str] = []
+    skipped_names: set[str] = set()
+    t_start = time.perf_counter()
+    # Wall-clock budget: a fresh-cache full run (corpus gen + 134M streams +
+    # nc=2^20 builds) is multi-hour by construction; rather than dying
+    # silently mid-stream inside the driver's window, stages whose estimated
+    # cost exceeds the remaining budget are skipped with explicit markers.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "10800"))
+
+    def remaining() -> float:
+        return budget_s - (time.perf_counter() - t_start)
+
+    def checkpoint(stage: str | None = None):
+        """Persist AND print the cumulative result after every stage: the
+        driver keeps only the process's output tail, so a timed-out run
+        must have already emitted its completed stages as a parseable JSON
+        line (round-3's rc=124 left parsed=null). The write is atomic
+        (tmp + os.replace) so a kill mid-write can't truncate the artifact
+        the device-unhealthy fallback depends on."""
+        if stage and stage not in skipped_names:
+            stages_done.append(stage)
+        snap = dict(result)
+        snap["partial_run"] = True
+        snap["stages_done"] = list(stages_done)
+        tmp = last + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, last)
+        print(json.dumps(snap), flush=True)
+
+    import signal
+
+    def _flush_and_exit(signum, frame):
+        log(f"received signal {signum} — flushing partial result")
+        result["terminated_by_signal"] = signum
+        checkpoint()
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    signal.signal(signal.SIGINT, _flush_and_exit)
+
+    def skip_stage(name: str, cache_probe: list[str], fresh_est: float,
+                   warm_est: float) -> bool:
+        """True if `name` should be skipped for budget; records the marker.
+        cache_probe: files (relative to CACHE) whose presence means the
+        stage's expensive build is cached and only timed runs remain."""
+        cached = all(os.path.exists(os.path.join(CACHE, p))
+                     for p in cache_probe)
+        need = warm_est if cached else fresh_est
+        if remaining() < need:
+            skipped_names.add(name)
+            log(f"{name}: SKIPPED — needs ~{need:.0f}s "
+                f"({'warm' if cached else 'FRESH-CACHE'}), "
+                f"{remaining():.0f}s of {budget_s:.0f}s budget left")
+            result.setdefault("skipped_stages", []).append({
+                "stage": name, "cached": cached,
+                "est_seconds": need,
+                "budget_left_seconds": round(max(remaining(), 0.0), 0),
+                "reason": "wall-clock budget"})
+            return True
+        return False
+
+    idx, queries, gt = build_primary(key)
     # Environment telemetry: the dev-tunnel dispatch round-trip and host
     # speed vary across workspaces (round-3 observed a host where a warm
     # trivial device op took 100x the round-2 norm); record them so any
     # cross-round perf delta is attributable to environment vs code.
     try:
         import jax.numpy as _jnp
-        _ = float(_jnp.sum(_jnp.ones((8, 8))))       # warm
+        # Warm with the EXACT timed expression (sum of scaled ones): a
+        # different warm program would leave iteration 0 paying a one-time
+        # compile that inflates the 5-run average.
+        _ = float(_jnp.sum(_jnp.ones((8, 8)) * 1))
         t0 = time.perf_counter()
         for _i in range(5):
             _ = float(_jnp.sum(_jnp.ones((8, 8)) * (2 + _i)))
@@ -1341,7 +1437,7 @@ def main():
     # exec here is ~68 ms (8192 q x ~8 us), the same magnitude where the
     # depth 2/4/8 sweep measured 8 as the sustained winner (the ~30 ms
     # tunnel dispatch+sync fixed cost amortizes to <0.5 us/q).
-    qps, labels = timed_qps(idx, queries, params, depth=8)
+    qps, labels, p_sl_us = timed_qps(idx, queries, params, depth=8)
     _, _ = idx.search(queries, params)        # warm the host-path jit
     # Fresh bytes for the timed host-path call (tunnel result-reuse cache —
     # see timed_qps).
@@ -1374,6 +1470,8 @@ def main():
     result.update({
         "value": round(qps, 1),
         "us_per_query": round(1e6 / qps, 2),
+        "us_per_query_single_launch": round(p_sl_us, 2),
+        "sustained_pipeline_depth": 8,
         "end_to_end_us_per_query": round(e2e * 1e6 / NQ, 2),
         "recall_at_1": round(rec[1], 4),
         "recall_at_10": round(rec[10], 4),
@@ -1385,20 +1483,13 @@ def main():
         "scan_slots_profiled": p_dem,
     })
 
-    def checkpoint():
-        """Persist the result-so-far after every stage: a fresh-cache full
-        run is multi-hour, and a killed run must still leave a reportable
-        artifact for the device-unhealthy fallback path."""
-        snap = dict(result)
-        snap["partial_run"] = True
-        with open(os.path.join(CACHE, "last_result.json"), "w") as f:
-            json.dump(snap, f)
-
-    checkpoint()
+    checkpoint("primary")
     idx.release_device()   # free HBM between stages (scale3 OOMed without)
 
     # --- grouping + OPQ (flagship config)
     try:
+        if skip_stage("grouping", ["bench_grouping.index"], 800, 200):
+            raise _StageSkipped()
         log("grouping: build/load ...")
         gidx = build_grouping(key)
         gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
@@ -1408,7 +1499,7 @@ def main():
         gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                           do_pruning=True, scan_budget=g_dem * 256)
         log("grouping: warmup + timed runs (device-resident) ...")
-        g_qps, gl = timed_qps(gidx, queries, gp, reshape=None)
+        g_qps, gl, g_sl_us = timed_qps(gidx, queries, gp, reshape=None)
         grec = recall_at_k(gl, gt, ks=(1, 10))
         gp100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
                              do_pruning=True, scan_budget=g_dem * 256)
@@ -1419,6 +1510,8 @@ def main():
         result.update({
             "grouping_qps": round(g_qps, 1),
             "grouping_us_per_query": round(1e6 / g_qps, 2),
+            "grouping_us_per_query_single_launch": round(g_sl_us, 2),
+            "grouping_pipeline_depth": 4,
             "grouping_recall_at_1": round(grec[1], 4),
             "grouping_recall_at_10": round(grec[10], 4),
             "grouping_recall_at_100": round(gr100[100], 4),
@@ -1426,10 +1519,12 @@ def main():
             "grouping_ceiling_at_10": round(gceil[10], 4),
             "grouping_ceiling_at_100": round(gceil[100], 4),
         })
+    except _StageSkipped:
+        pass
     except Exception as e:  # keep the primary result robust
         log(f"grouping bench failed: {type(e).__name__}: {e}")
         result["grouping_error"] = str(e)[:200]
-    checkpoint()
+    checkpoint("grouping")
     try:
         gidx.release_device()
     except NameError:
@@ -1437,11 +1532,14 @@ def main():
 
     # --- scale point (nc=2^17, 20M vectors, canonical nprobe)
     try:
+        if skip_stage("scale", ["scale/scale.index"], 1400, 250):
+            raise _StageSkipped()
         log("scale: build/load ...")
         sidx, sq, sgt, build_s = build_scale(key)
         sp = SearchParams(k=K, nprobe=S_NPROBE, max_codes=S_MC)
         log("scale: warmup + timed runs ...")
-        s_qps, s_labels = timed_qps(sidx, sq, sp, runs=2, reshape=512)
+        s_qps, s_labels, s_sl_us = timed_qps(sidx, sq, sp, runs=2,
+                                             reshape=512)
         srec = recall_at_k(s_labels, sgt, ks=(1, 10))
         sp100 = SearchParams(k=100, nprobe=S_NPROBE, max_codes=S_MC)
         _, sl100 = sidx.search(sq[:1024], sp100)
@@ -1452,6 +1550,8 @@ def main():
             "scale_nb": S_NB, "scale_nc": S_NC,
             "scale_qps_nprobe128": round(s_qps, 1),
             "scale_us_per_query": round(1e6 / s_qps, 2),
+            "scale_us_per_query_single_launch": round(s_sl_us, 2),
+            "scale_pipeline_depth": 4,
             "scale_recall_at_1": round(srec[1], 4),
             "scale_recall_at_10": round(srec[10], 4),
             "scale_recall_at_100": round(sr100[100], 4),
@@ -1460,10 +1560,12 @@ def main():
             "scale_ceiling_at_100": round(sceil[100], 4),
             "scale_build_seconds": round(build_s, 1),
         })
+    except _StageSkipped:
+        pass
     except Exception as e:
         log(f"scale bench failed: {type(e).__name__}: {e}")
         result["scale_error"] = str(e)[:200]
-    checkpoint()
+    checkpoint("scale")
     try:
         sidx.release_device()
     except NameError:
@@ -1472,6 +1574,9 @@ def main():
     # --- scale2: canonical list economics (128M vectors, ~1000 codes/list,
     # nprobe=128, max_codes=100k, routed-assigner build)
     try:
+        if skip_stage("scale2", ["scale2/scale2.index",
+                                 "scale2/ceiling.json"], 4200, 500):
+            raise _StageSkipped()
         log("scale2: build/load ...")
         s2idx, s2q, s2gt, s2meta = build_scale2(key)
         log("scale2: routed coarse setup ...")
@@ -1495,14 +1600,14 @@ def main():
         # ~60 ms exec — measured depth 2/4/8 = 84.9/66.1/62.4 us/q (round
         # 3). In-flight args are 0.5 MB each and XLA temps are allocated
         # per-execution, so deep pipelining costs no meaningful HBM.
-        s2_qps, s2_labels = timed_qps(s2idx, s2q, sp2, runs=2, reshape=None,
-                                      depth=8)
+        s2_qps, s2_labels, s2_sl_us = timed_qps(s2idx, s2q, sp2, runs=2,
+                                                reshape=None, depth=8)
         log("scale2: approx-coarse comparison run ...")
         sp2_ap = SearchParams(k=K, nprobe=S2_NPROBE, max_codes=S2_MC,
                               coarse_mode="approx",
                               scan_budget=s2_dem * gran2)
-        s2_qps_ap, _ = timed_qps(s2idx, s2q, sp2_ap, runs=1, reshape=None,
-                                 depth=8)
+        s2_qps_ap, _, _ = timed_qps(s2idx, s2q, sp2_ap, runs=1, reshape=None,
+                                    depth=8)
         s2rec = recall_at_k(s2_labels, s2gt, ks=(1, 10))
         sp2_100 = SearchParams(k=100, nprobe=S2_NPROBE, max_codes=S2_MC,
                                scan_budget=s2_dem * gran2)
@@ -1523,6 +1628,8 @@ def main():
             "scale2_nb": S2_NB, "scale2_nc": S2_NC,
             "scale2_qps_nprobe128_mc100k": round(s2_qps, 1),
             "scale2_us_per_query": round(1e6 / s2_qps, 2),
+            "scale2_us_per_query_single_launch": round(s2_sl_us, 2),
+            "scale2_pipeline_depth": 8,
             "scale2_recall_at_1": round(s2rec[1], 4),
             "scale2_recall_at_10": round(s2rec[10], 4),
             "scale2_recall_at_100": round(s2r100[100], 4),
@@ -1553,10 +1660,12 @@ def main():
                 dec["exact_unlimited"]["1"])
         except Exception as e:
             log(f"scale2 decomposition failed: {type(e).__name__}: {e}")
+    except _StageSkipped:
+        pass
     except Exception as e:
         log(f"scale2 bench failed: {type(e).__name__}: {e}")
         result["scale2_error"] = str(e)[:200]
-    checkpoint()
+    checkpoint("scale2")
     try:
         s2idx.release_device()
     except NameError:
@@ -1565,6 +1674,9 @@ def main():
     # --- siftlike: SIFT-faithful corpus — recall comparable to the
     # reference's SIFT1B regime, with same-corpus CPU-port relative parity
     try:
+        if skip_stage("siftlike", ["siftlike/sl.index",
+                                   "cpu_baseline_siftlike.json"], 1000, 300):
+            raise _StageSkipped()
         log("siftlike: build/load ...")
         slidx, slq, slgt = build_siftlike(key)
         log("siftlike: warmup + timed runs ...")
@@ -1574,7 +1686,7 @@ def main():
         sl_gran = slidx.scan_unit()
         params_sl = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                                  scan_budget=sl_dem * sl_gran)
-        sl_qps, sll = timed_qps(slidx, slq, params_sl, depth=8)
+        sl_qps, sll, sl_sl_us = timed_qps(slidx, slq, params_sl, depth=8)
         slrec = recall_at_k(sll, slgt, ks=(1, 10))
         p100sl = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
                               scan_budget=sl_dem * sl_gran)
@@ -1587,6 +1699,8 @@ def main():
         result.update({
             "siftlike_qps": round(sl_qps, 1),
             "siftlike_us_per_query": round(1e6 / sl_qps, 2),
+            "siftlike_us_per_query_single_launch": round(sl_sl_us, 2),
+            "siftlike_pipeline_depth": 8,
             "siftlike_recall_at_1": round(slrec[1], 4),
             "siftlike_recall_at_10": round(slrec[10], 4),
             "siftlike_recall_at_100": round(slr100[100], 4),
@@ -1599,10 +1713,12 @@ def main():
             result["siftlike_cpu_recall_at_1"] = round(sl_cpu_r1, 4)
             result["siftlike_vs_baseline"] = round(
                 sl_qps / (1e6 / sl_cpu_us), 3)
+    except _StageSkipped:
+        pass
     except Exception as e:
         log(f"siftlike bench failed: {type(e).__name__}: {e}")
         result["siftlike_error"] = str(e)[:200]
-    checkpoint()
+    checkpoint("siftlike")
     try:
         slidx.release_device()
     except NameError:
@@ -1610,6 +1726,9 @@ def main():
 
     # --- scale3: canonical centroid count nc=2^20 (reference geometry)
     try:
+        if skip_stage("scale3", ["scale3/scale3.index",
+                                 "scale3/ceiling.json"], 5500, 600):
+            raise _StageSkipped()
         log("scale3: build/load ...")
         s3idx, s3q, s3gt, s3meta = build_scale3(key)
         log("scale3: routed coarse setup ...")
@@ -1625,14 +1744,14 @@ def main():
         sp3 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,
                            scan_budget=s3_dem * gran3)
         log("scale3: warmup + timed runs ...")
-        s3_qps, s3_labels = timed_qps(s3idx, s3q, sp3, runs=2, reshape=None,
-                                      depth=8)
+        s3_qps, s3_labels, s3_sl_us = timed_qps(s3idx, s3q, sp3, runs=2,
+                                                reshape=None, depth=8)
         log("scale3: approx-coarse comparison run ...")
         sp3_ap = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,
                               coarse_mode="approx",
                               scan_budget=s3_dem * gran3)
-        s3_qps_ap, _ = timed_qps(s3idx, s3q, sp3_ap, runs=1, reshape=None,
-                                 depth=8)
+        s3_qps_ap, _, _ = timed_qps(s3idx, s3q, sp3_ap, runs=1, reshape=None,
+                                    depth=8)
         s3rec = recall_at_k(s3_labels, s3gt, ks=(1, 10))
         sp3_100 = SearchParams(k=100, nprobe=S3_NPROBE, max_codes=S3_MC,
                                scan_budget=s3_dem * gran3)
@@ -1663,6 +1782,8 @@ def main():
             "scale3_nb": S3_NB, "scale3_nc": S3_NC,
             "scale3_qps_nprobe128_mc100k": round(s3_qps, 1),
             "scale3_us_per_query": round(1e6 / s3_qps, 2),
+            "scale3_us_per_query_single_launch": round(s3_sl_us, 2),
+            "scale3_pipeline_depth": 8,
             "scale3_recall_at_1": round(s3rec[1], 4),
             "scale3_recall_at_10": round(s3rec[10], 4),
             "scale3_recall_at_100": round(s3r100[100], 4),
@@ -1695,10 +1816,12 @@ def main():
                 dec3["exact_unlimited"]["1"])
         except Exception as e:
             log(f"scale3 decomposition failed: {type(e).__name__}: {e}")
+    except _StageSkipped:
+        pass
     except Exception as e:
         log(f"scale3 bench failed: {type(e).__name__}: {e}")
         result["scale3_error"] = str(e)[:200]
-    checkpoint()
+    checkpoint("scale3")
 
     # --- 1B assign+encode (tools/build_1b.py writes this artifact; the
     # bench only REPORTS it — the run itself is multi-hour)
@@ -1726,10 +1849,20 @@ def main():
             "build_1b_drift_min_match_rate": drift_min,
             "build_1b_source": src_1b,
         })
+        if src_1b == "committed-record":
+            # Historical values whose live artifact was lost — stamp their
+            # provenance so consumers can't silently mix measured-this-run
+            # and recorded numbers (round-3 advisor finding).
+            result["build_1b_recorded_at"] = b1.get(
+                "recorded_at", "round-3 run record (commit 51fb688)")
 
-    with open(os.path.join(CACHE, "last_result.json"), "w") as f:
+    result["stages_done"] = list(stages_done)
+    result["bench_wall_seconds"] = round(time.perf_counter() - t_start, 1)
+    tmp = last + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(result, f)
-    print(json.dumps(result))
+    os.replace(tmp, last)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -916,15 +916,16 @@ class IVFADCIndex:
         hdr.write(os.path.join(home_dir, "hdr.vec"))
         with open(os.path.join(home_dir, "cnorms.vec"), "wb") as f:
             io.write_len_vector(f, np.asarray(self.centroid_norms, "<f4"))
-        off = np.asarray(store.list_offsets)
-        codes = np.asarray(store.codes)
-        ncodes = np.asarray(store.norm_codes)
+        # Vectorized series write (same pattern as write(); the per-centroid
+        # write_len_vector loop is O(nc) Python — 2*2^20 calls at canonical
+        # geometry). Payloads are already flat+sorted by centroid, so the
+        # per-record counts are just the list sizes.
+        counts = np.diff(np.asarray(store.list_offsets, np.int64))
         with open(os.path.join(home_dir, "pq.vec"), "wb") as f:
-            for c in range(self.nc):
-                io.write_len_vector(f, codes[off[c]:off[c + 1]])
+            io.write_len_series(f, np.asarray(store.codes),
+                                counts * self.config.pq_m)
         with open(os.path.join(home_dir, "normpq.vec"), "wb") as f:
-            for c in range(self.nc):
-                io.write_len_vector(f, ncodes[off[c]:off[c + 1]])
+            io.write_len_series(f, np.asarray(store.norm_codes), counts)
         if self.do_opq:
             with open(os.path.join(home_dir, "opq.vec"), "wb") as f:
                 rotated = opq_ops.apply_rotation(self.centroids, self.opq_R)

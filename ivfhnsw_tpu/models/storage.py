@@ -290,6 +290,7 @@ class PostingListStore:
         )
         return self._tiled
 
+
 class PostingListBuilder:
     """Accumulates (centroid key, id, code, norm code) batches; finalize()
     produces a sorted PostingListStore."""
