@@ -446,6 +446,82 @@ def quad_metadata(probes, qc_dists, centroid_norms, qtile_offsets,
             jnp.where(valid, sel[..., 2], 0.0))
 
 
+def _adc_kernel_quad_nb(qtl_smem, luts_ref, qtiles_hbm, out_ref, scratch,
+                        sems, *, cpsq=CPSQ, depth=DEPTH_Q):
+    """BRANCHLESS quad scan: every schedule slot issues its DMA, waits, and
+    computes unconditionally — padding slots (tl=0) fetch tile 0 and their
+    garbage rows are masked outside the kernel exactly as before. Rationale:
+    at profiled slot budgets padding is rare and the scan runs at ~3% of
+    HBM speed-of-light, so trading a few wasted tile fetches for the
+    removal of THREE scalar branches per unit (start/wait/compute guards)
+    attacks the per-unit scalar floor directly.
+
+    Out-of-range lookahead starts saturate to the LAST chunk (same slot,
+    same bytes — benign duplicate DMA); the final grid step drains the
+    DEPTH-CPSQ duplicate signals so semaphores are zero at kernel exit."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    nq = nsteps * cpsq
+    total = nb * nq
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(qtiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    def start_for(gg):
+        gg = jnp.minimum(gg, total - 1)
+        bb = gg // nq
+        cc = jax.lax.rem(gg, nq)
+        tl = qtl_smem[bb, cc]
+        dma(jax.lax.rem(gg, depth), tl // RTL_PACK).start()
+
+    g0 = b * nq + j * cpsq
+
+    @pl.when(g0 == 0)
+    def _():
+        for w in range(depth - cpsq):
+            start_for(jnp.int32(w))
+
+    for i in range(cpsq):
+        start_for(g0 + depth - cpsq + i)
+
+    for i in range(cpsq):
+        g = g0 + i
+        dma(jax.lax.rem(g, depth), jnp.int32(0)).wait()
+
+    lut = luts_ref[0]                                      # [72, 256]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+    def half(idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(lut0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(lut1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
+
+    for i in range(cpsq):
+        g = g0 + i
+        idx = scratch[jax.lax.rem(g, depth)].astype(jnp.int32)
+        gg = jnp.concatenate([half(idx[:, :128]), half(idx[:, 128:])],
+                             axis=1)                       # [72, 256]
+        out_ref[0, i * 4:(i + 1) * 4, :] = jnp.sum(
+            gg.reshape(18, 4, 256), axis=0)
+
+    # Drain the saturated duplicate starts (one per lookahead slot past the
+    # grid end) so every semaphore is zero when the kernel exits. Each
+    # dma.wait() consumes exactly one copy's completion (the DMA semaphore
+    # counts bytes, so a raw semaphore_wait with a completion count would
+    # not match).
+    @pl.when(g0 == total - cpsq)
+    def _():
+        for _w in range(depth - cpsq):
+            dma(jax.lax.rem(jnp.int32(total - 1), depth),
+                jnp.int32(0)).wait()
+
+
 def _adc_kernel_quad(qtl_smem, luts_ref, qtiles_hbm, out_ref, scratch,
                      sems, *, cpsq=CPSQ, depth=DEPTH_Q, arith=False):
     CPSQ_ = cpsq
@@ -526,10 +602,12 @@ def _adc_kernel_quad(qtl_smem, luts_ref, qtiles_hbm, out_ref, scratch,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "cpsq", "depth", "arith"))
+                   static_argnames=("interpret", "cpsq", "depth", "arith",
+                                    "branchless"))
 def adc_scan_quad(luts_quad, qtile, qlen, qbias, qtiles,
                   interpret: bool = False, cpsq: int = CPSQ,
-                  depth: int = DEPTH_Q, arith: bool = False):
+                  depth: int = DEPTH_Q, arith: bool = False,
+                  branchless: bool = False):
     """Quad-tile scan. Returns dists [B, nquad*RCHUNK] f32 (masked +inf)."""
     import functools as ft
     B, nquad = qtile.shape
@@ -556,8 +634,12 @@ def adc_scan_quad(luts_quad, qtile, qlen, qbias, qtiles,
             pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
+    kern = (ft.partial(_adc_kernel_quad_nb, cpsq=cpsq, depth=depth)
+            if branchless
+            else ft.partial(_adc_kernel_quad, cpsq=cpsq, depth=depth,
+                            arith=arith))
     out = pl.pallas_call(
-        ft.partial(_adc_kernel_quad, cpsq=cpsq, depth=depth, arith=arith),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nquad * 4, CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -876,21 +958,26 @@ def main():
     ms_pre_q = marginal_ms(pre_quad, q)
     print(f"pre_quad: {ms_pre_q:.2f} ms ({ms_pre_q*1e3/B:.2f} us/q)")
 
-    for cpsq, depth, arith in ((2, 8, True), (4, 16, False), (4, 16, True),
-                               (2, 16, False), (8, 32, True),
-                               (4, 32, False), (8, 32, False),
-                               (4, 16, False)):
+    for cpsq, depth, arith, nb_ in ((8, 32, False, False),
+                                    (8, 32, False, True),
+                                    (16, 64, False, False),
+                                    (16, 64, False, True),
+                                    (16, 48, False, True),
+                                    (8, 64, False, True),
+                                    (32, 128, False, True),
+                                    (8, 32, False, True)):
         @functools.partial(jax.jit, static_argnames=())
-        def kq(lq, qt_, ql_, qb_, _c=cpsq, _d=depth, _a=arith):
+        def kq(lq, qt_, ql_, qb_, _c=cpsq, _d=depth, _a=arith, _n=nb_):
             return adc_scan_quad(lq, qt_, ql_, qb_, qtiles,
-                                 cpsq=_c, depth=_d, arith=_a)
+                                 cpsq=_c, depth=_d, arith=_a,
+                                 branchless=_n)
         dv = jax.block_until_ready(kq(lq, qt_, ql_, qb_))
         av = np.sort(np.asarray(dv), axis=1)[:, :MAX_CODES]
         okv = np.allclose(a1, av, atol=1e-3)
         msv = marginal_ms(kq, lq, qt_, ql_, qb_)
-        print(f"quad cpsq={cpsq} depth={depth} arith={arith}: "
-              f"{msv:.2f} ms ({msv*1e3/B:.2f} us/q, "
-              f"{msv*1e6/B/realq:.0f} ns/chunk) match={okv}")
+        print(f"quad cpsq={cpsq} depth={depth} arith={arith} "
+              f"branchless={nb_}: {msv:.2f} ms ({msv*1e3/B:.2f} us/q, "
+              f"{msv*1e6/B/realq:.0f} ns/chunk) match={okv}", flush=True)
 
     # chunk layout: (cps, depth, batched_wait) sweep of the production
     # kernel shape — the per-unit-floor lever for chunk-layout geometries
