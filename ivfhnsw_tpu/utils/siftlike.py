@@ -95,3 +95,81 @@ class SiftLikeCorpus:
         v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
         q = np.clip(np.floor(v * 512.0), 0, 255).astype(np.uint8)
         return q.astype(np.float32)
+
+
+class SiftLikeDeviceGen:
+    """Device-side port of SiftLikeCorpus's generative process (jax PRNG).
+
+    Same statistical pipeline — per-class cell x orientation-bin energy
+    fields with a circular profile around a dominant orientation,
+    log-normal intra-class jitter, empty-bin thresholding, and the SIFT
+    normalize/clip/renormalize/x512/uint8 post-processing — but generated
+    ON the accelerator, so a 134M-vector canonical-geometry corpus streams
+    at device rate instead of pushing ~68 GB of host numpy through the dev
+    tunnel (the same reason bench.make_scale3_gen generates on device).
+    Not bit-identical to the numpy class (different PRNG); only the
+    statistics matter, and the exact-ADC recall ceiling is re-calibrated
+    at the stage's own geometry (tools/siftlike_scale_calibrate.py).
+
+    Deterministic per (seed, batch key): the same key always regenerates
+    identical bytes, so resumed streaming builds are reproducible
+    (reference evaluates on fixed files, test_ivfhnsw_sift1b.cpp:40-52).
+
+    Class tables are jit ARGUMENTS, not closure constants: a captured
+    ~320 MB constant (n_classes=2^22) would be serialized into the remote
+    compile request and rejected by the tunnel (HTTP 413 — the scale3
+    lesson, bench.py make_scale3_gen)."""
+
+    def __init__(self, n_classes: int = 1 << 22, sigma: float = 0.75,
+                 seed: int = 0):
+        import functools
+        import jax
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        self.n_classes = int(n_classes)
+        self.sigma = float(sigma)
+        kd, kw, kc = jr.split(jr.PRNGKey(seed), 3)
+        dom = jr.randint(kd, (self.n_classes, 1), 0, BINS)
+        wob = jr.randint(kw, (self.n_classes, CELLS), -1, 2)
+        ring = jnp.asarray([2, 1, 1, 2, 1, 0, 0, 1,
+                            1, 0, 0, 1, 2, 1, 1, 2], jnp.float32)
+        self._state = {
+            "dom": ((dom + wob) % BINS).astype(jnp.int8),
+            "cell_log": (jr.normal(kc, (self.n_classes, CELLS), jnp.float32)
+                         * 0.9 - 0.45 * ring),
+        }
+        self._prof = jnp.exp(
+            -0.9 * jnp.minimum(jnp.arange(BINS), BINS - jnp.arange(BINS))
+        ).astype(jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def _gen(dom_t, cell_log_t, key, n):
+            kc_, kj_ = jr.split(key)
+            cls = jr.randint(kc_, (n,), 0, self.n_classes)
+            domb = dom_t[cls].astype(jnp.int32)               # [n, 16]
+            shift = (jnp.arange(BINS)[None, None, :]
+                     - domb[:, :, None]) % BINS               # [n, 16, 8]
+            energy = (self._prof[shift]
+                      * jnp.exp(cell_log_t[cls])[:, :, None])
+            jit_ = jnp.exp(jr.normal(kj_, (n, CELLS, BINS), jnp.float32)
+                           * self.sigma)
+            v = energy * jit_
+            v = jnp.where(v < 0.22 * v.max(axis=2, keepdims=True), 0.0, v)
+            v = v.reshape(n, D)
+            v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+            v = jnp.minimum(v, 0.2)
+            v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+            return jnp.clip(jnp.floor(v * 512.0), 0.0, 255.0)
+
+        self._gen = _gen
+
+    def batch_device(self, key, n: int):
+        """n SIFT-like uint8-grid descriptors as a DEVICE f32 [n, 128]."""
+        return self._gen(self._state["dom"], self._state["cell_log"],
+                         key, n)
+
+    def release(self) -> None:
+        """Free the device-resident class tables (~320 MB at 2^22)."""
+        self._state["dom"] = None
+        self._state["cell_log"] = None
