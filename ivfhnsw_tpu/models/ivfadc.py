@@ -412,6 +412,20 @@ class IVFADCIndex:
     def finalize(self) -> None:
         self.store = self.builder.finalize()
 
+    def reseed_builder_from_store(self) -> None:
+        """Reload the builder from a finalized/read store so a persisted
+        index can keep growing (the reference adds to a loaded index the
+        same way: read_index then add_batch,
+        test_ivfhnsw_grouping_sift1b_vector_add.cpp:262-274). Per-vector
+        centroid keys are reconstructed from the store's list offsets
+        (codes are stored sorted by centroid)."""
+        store = self._ensure_store()
+        counts = np.diff(np.asarray(store.list_offsets, np.int64))
+        keys = np.repeat(np.arange(self.nc, dtype=np.int32), counts)
+        self.builder.add(keys, np.asarray(store.ids, np.int32),
+                         np.asarray(store.codes),
+                         np.asarray(store.norm_codes))
+
     def _ensure_store(self) -> PostingListStore:
         if self.store is None:
             self.finalize()

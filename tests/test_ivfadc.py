@@ -241,3 +241,49 @@ def test_search_per_probe_ignores_max_codes(built_index):
                                                         max_codes=50))
     np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(l1, l0)
+
+
+def test_reseed_builder_extends_persisted_index(built_index, tmp_path):
+    """A written index can be read back, reseeded into the builder, and
+    extended with new batches; the result is byte-identical to building
+    the full set from scratch (the reference's read-then-add flow,
+    test_ivfhnsw_grouping_sift1b_vector_add.cpp:262-274)."""
+    idx, base, queries, gt = built_index
+    half = base.shape[0] // 2
+    cfg = IndexConfig(d=32, nc=64, code_size=8)
+
+    a = IVFADCIndex(cfg)
+    a.set_centroids(np.asarray(idx.centroids))
+    a.pq, a.norm_pq = idx.pq, idx.norm_pq
+    a.add_batch(base[:half], np.arange(half, dtype=np.int32))
+    a.finalize()
+    p = str(tmp_path / "half.index")
+    a.write(p)
+
+    b = IVFADCIndex(cfg)
+    b.set_centroids(np.asarray(idx.centroids))
+    b.pq, b.norm_pq = idx.pq, idx.norm_pq
+    b.read(p)
+    assert b.builder.ntotal == 0
+    b.reseed_builder_from_store()
+    assert b.builder.ntotal == half
+    b.store = None
+    b.add_batch(base[half:], np.arange(half, base.shape[0],
+                                       dtype=np.int32))
+    b.finalize()
+
+    full = IVFADCIndex(cfg)
+    full.set_centroids(np.asarray(idx.centroids))
+    full.pq, full.norm_pq = idx.pq, idx.norm_pq
+    full.add_batch(base, np.arange(base.shape[0], dtype=np.int32))
+    full.finalize()
+
+    assert b.store.ntotal == full.store.ntotal == base.shape[0]
+    np.testing.assert_array_equal(np.asarray(b.store.list_offsets),
+                                  np.asarray(full.store.list_offsets))
+    np.testing.assert_array_equal(np.asarray(b.store.ids),
+                                  np.asarray(full.store.ids))
+    np.testing.assert_array_equal(np.asarray(b.store.codes),
+                                  np.asarray(full.store.codes))
+    np.testing.assert_array_equal(np.asarray(b.store.norm_codes),
+                                  np.asarray(full.store.norm_codes))
