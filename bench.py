@@ -76,6 +76,35 @@ S2_NPROBE, S2_MC = 128, 100_000
 # the vectorized serialization round-trip.
 S3_NB, S3_NC, S3_NQ = 134_217_728, 1_048_576, 1024
 S3_NPROBE, S3_MC = 128, 100_000
+# scale3sl: canonical geometry x SIFT-statistics corpus (VERDICT r3 item
+# 2): 134M SIFT-like vectors at nc=2^20 puts the reference's recall
+# REGIME (paper band R@1 0.3-0.45) and the reference's GEOMETRY
+# (run_sift1b.sh nc=993127) in one measured stage, with the reference's
+# operating-point sweep (run_sift1b.sh:38-44). sigma calibrated at this
+# stage's density ratios by tools/siftlike_scale_calibrate.py.
+S3SL_NB, S3SL_NC, S3SL_NQ = 134_217_728, 1_048_576, 1024
+# Class distribution calibrated by tools/siftlike_scale_calibrate.py at
+# this stage's density ratios (nb/n_classes=8, n_classes/nc=16): a
+# UNIFORM class distribution yields ceiling@1 0.96-0.97 at canonical
+# geometry regardless of n_classes (residuals are pure intra-class
+# jitter); the Zipf-like skew restores near-duplicate competition and
+# puts the ceiling in the paper's regime.
+S3SL_NCLS = 1 << 24
+S3SL_SIGMA = 0.75
+S3SL_SKEW = 3.0
+S3SL_SWEEP = ((32, 10_000), (64, 30_000), (128, 100_000))
+# scale4: the chip's residency ceiling (VERDICT r3 item 5): 268M vectors
+# (2 x scale3sl, ~256 codes/list) searched on ONE chip — extends
+# scale3sl's stream with the same quantizers and records HBM occupancy
+# alongside QPS/recall. SCALING.md's ~250M/v5e claim, measured.
+S4_NB = 268_435_456
+# deep: DEEP1B-shaped point (VERDICT r3 item 6): d=96 is NOT a multiple
+# of the 128-lane register width — exercises non-aligned lanes in the
+# coarse matmul, the LUT build (dsub=6 codebooks at pq_m=16), and the
+# on-TPU centroid learning path at the scale stage's size.
+# Reference: examples/run_deep1b.sh, test_ivfhnsw_deep1b.cpp:41,71,111.
+DEEP_NB, DEEP_D, DEEP_NC, DEEP_NQ = 20_000_000, 96, 131_072, 2048
+DEEP_NPROBE, DEEP_MC = 128, 30_000
 CORPUS_VERSION = 3  # v3: assignment at f32-fidelity precision
 
 
@@ -610,6 +639,111 @@ def build_scale(key):
     return idx, queries, np.load(p_gt), build_s
 
 
+def build_deep(key):
+    """DEEP1B-shaped point: 20M x 96d at nc=2^17, on-TPU centroid
+    learning. d=96 exercises the non-128-aligned-lane paths (coarse
+    matmul, dsub=6 LUT build) that every other stage's d=128 hides.
+    Same device-resident streaming skeleton as build_scale."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+
+    sdir = os.path.join(CACHE, "deep")
+    os.makedirs(sdir, exist_ok=True)
+    p_cent = os.path.join(sdir, "centroids.npy")
+    p_pq = os.path.join(sdir, "deep.pq")
+    p_npq = os.path.join(sdir, "deep.norm_pq")
+    p_idx = os.path.join(sdir, "deep.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_q = os.path.join(sdir, "queries.npy")
+    p_time = os.path.join(sdir, "build_seconds")
+
+    cfg = IndexConfig(d=DEEP_D, nc=DEEP_NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    if all(os.path.exists(p) for p in (p_cent, p_pq, p_npq, p_idx, p_gt,
+                                       p_q, p_time)):
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+        return (idx, np.load(p_q), np.load(p_gt),
+                float(open(p_time).read()))
+
+    # DEEP1B descriptors are L2-NORMALIZED deep features (the reference
+    # renormalizes after OPQ too, test_ivfhnsw_deep1b.cpp) — a normalized
+    # anisotropic mixture is the matching analog.
+    rng = np.random.RandomState(21)
+    n_cl = 16384
+    centers_np = rng.randn(n_cl, DEEP_D).astype(np.float32)
+    centers_np /= np.linalg.norm(centers_np, axis=1, keepdims=True)
+    spectrum_np = (np.arange(1, DEEP_D + 1) ** -0.5).astype(np.float32)
+    mix_np = rng.randn(DEEP_D, DEEP_D).astype(np.float32) / np.sqrt(DEEP_D)
+
+    centers_dev = jnp.asarray(centers_np)
+    spectrum_dev = jnp.asarray(spectrum_np)
+    mix_dev = jnp.asarray(mix_np)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def gen_dev(k, n):
+        ka, kn = jax.random.split(k)
+        a = jax.random.randint(ka, (n,), 0, n_cl)
+        noise = jax.random.normal(kn, (n, DEEP_D), jnp.float32) \
+            * spectrum_dev
+        v = centers_dev[a] + (noise @ mix_dev) * 0.35
+        return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+    import jax.random as jr
+    queries = np.asarray(gen_dev(jr.PRNGKey(300), DEEP_NQ))
+    np.save(p_q, queries)
+
+    t_build = time.time()
+    if os.path.exists(p_cent):
+        idx.set_centroids(np.load(p_cent))
+    else:
+        log(f"deep: training nc={DEEP_NC} centroids (d=96, on-TPU) ...")
+        learn = np.asarray(gen_dev(jr.PRNGKey(301), 2_097_152))
+        idx.train_centroids(key, learn, niter=4)
+        np.save(p_cent, np.asarray(idx.centroids))
+        del learn
+        log(f"deep: centroids ready ({time.time()-t_build:.1f}s)")
+    if os.path.exists(p_pq):
+        idx.load_quantizers(p_pq, p_npq)
+    else:
+        learn = np.asarray(gen_dev(jr.PRNGKey(302), 262_144))
+        idx.train_pq(key, learn)
+        idx.save_quantizers(p_pq, p_npq)
+        del learn
+        log(f"deep: quantizers ready ({time.time()-t_build:.1f}s)")
+
+    log(f"deep: streaming {DEEP_NB} vectors (device-resident add + gt) ...")
+    qj = jnp.asarray(queries)
+    hp = jax.lax.Precision.HIGHEST
+    best_d = np.full((DEEP_NQ, 1), np.inf, np.float32)
+    best_l = np.full((DEEP_NQ, 1), -1, np.int64)
+    bs = 1_048_576
+    for bi, off in enumerate(range(0, DEEP_NB, bs)):
+        blk = gen_dev(jr.PRNGKey(400 + bi), min(bs, DEEP_NB - off))
+        idx.add_batch_device(blk, np.arange(off, off + blk.shape[0],
+                                            dtype=np.int32))
+        d_, i_ = streaming_topk_l2(qj, blk, 1, block=131_072, precision=hp)
+        d_, i_ = np.asarray(d_), np.asarray(i_) + off
+        upd = d_[:, 0] < best_d[:, 0]
+        best_d[upd] = d_[upd]
+        best_l[upd] = i_[upd]
+        if bi % 4 == 0 or off + bs >= DEEP_NB:
+            log(f"  deep: {off + blk.shape[0]}/{DEEP_NB} "
+                f"({time.time()-t_build:.1f}s)")
+    idx.finalize()
+    build_s = time.time() - t_build
+    idx.write(p_idx)
+    np.save(p_gt, best_l)
+    with open(p_time, "w") as f:
+        f.write(str(build_s))
+    log(f"deep: index built in {build_s:.0f}s")
+    return idx, queries, best_l, build_s
+
+
 def build_scale2(key):
     """Canonical-geometry point: 128M x 128d at nc=2^17 — the reference's
     list economics (~1000 codes/list; run_sift1b.sh nb=1e9/nc=993127) and
@@ -936,6 +1070,259 @@ def build_scale3(key):
         json.dump(meta, f)
     log(f"scale3: built in {build_s:.0f}s; write {t_write:.0f}s "
         f"read {t_read:.0f}s")
+    return idx, queries, best_l, meta
+
+
+def build_scale3sl(key):
+    """Canonical geometry x SIFT statistics: 134M SiftLikeDeviceGen
+    vectors at nc=2^20. Same build skeleton as build_scale3 (hierarchical
+    seeding + routed-Lloyd + routed streaming add with drift monitor +
+    streamed exact top-1 groundtruth), but on the corpus whose exact-ADC
+    ceiling sits in the reference paper's recall band — so recall parity
+    at reference geometry is measured, not extrapolated (VERDICT r3
+    item 2; reference operating points: examples/run_sift1b.sh:38-44).
+    Saves gt distances too (gt_d.npy) so build_scale4 can extend the
+    stream and merge groundtruth incrementally."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    from ivfhnsw_tpu.utils.siftlike import SiftLikeDeviceGen
+
+    sdir = os.path.join(CACHE, "scale3sl")
+    os.makedirs(sdir, exist_ok=True)
+    p_cent = os.path.join(sdir, "centroids.npy")
+    p_pq = os.path.join(sdir, "sl.pq")
+    p_npq = os.path.join(sdir, "sl.norm_pq")
+    p_idx = os.path.join(sdir, "sl.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_gtd = os.path.join(sdir, "gt_d.npy")
+    p_q = os.path.join(sdir, "queries.npy")
+    p_meta = os.path.join(sdir, "build_meta.json")
+
+    cfg = IndexConfig(d=D, nc=S3SL_NC, code_size=CODE_SIZE)
+    idx = IVFADCIndex(cfg)
+    if all(os.path.exists(p) for p in (p_cent, p_pq, p_npq, p_idx, p_gt,
+                                       p_gtd, p_q, p_meta)):
+        idx.set_centroids(np.load(p_cent))
+        idx.load_quantizers(p_pq, p_npq)
+        idx.read(p_idx)
+        with open(p_meta) as f:
+            meta = json.load(f)
+        return idx, np.load(p_q), np.load(p_gt), meta
+
+    hi = jax.lax.Precision.HIGH
+    n_sup = 2048
+    gen = SiftLikeDeviceGen(n_classes=S3SL_NCLS, sigma=S3SL_SIGMA, seed=7,
+                            skew=S3SL_SKEW)
+    # Queries held out via a disjoint key domain (same generative process,
+    # never inserted — reference evaluates on disjoint query files).
+    queries = np.asarray(gen.batch_device(jr.PRNGKey(999_999), S3SL_NQ))
+    np.save(p_q, queries)
+
+    t_build = time.time()
+    meta = {"sigma": S3SL_SIGMA, "n_classes": S3SL_NCLS,
+            "skew": S3SL_SKEW}
+    p_prog = os.path.join(sdir, "build_progress.json")
+    prior_s = 0.0
+    if os.path.exists(p_cent):
+        idx.set_centroids(np.load(p_cent))
+        if os.path.exists(p_prog):
+            with open(p_prog) as f:
+                prior_s = float(json.load(f).get("centroid_seconds", 0.0))
+    else:
+        from ivfhnsw_tpu.ops.kmeans import hierarchical_seed
+        from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
+        log(f"scale3sl: hierarchical seeding k={S3SL_NC} ...")
+        learn = np.asarray(gen.batch_device(jr.PRNGKey(999_001), 8_388_608))
+        seeds = hierarchical_seed(key, learn, S3SL_NC)
+        log(f"scale3sl: seeds ready ({time.time()-t_build:.0f}s); "
+            "routed-Lloyd refinement ...")
+        cents = seeds
+        for it in range(2):
+            assigner = TwoLevelAssigner(cents, n_super=n_sup, w=4,
+                                        key=jr.PRNGKey(190 + it))
+            keys_l = assigner.assign(learn)
+            sums = np.zeros((S3SL_NC, D), np.float64)
+            np.add.at(sums, keys_l, learn.astype(np.float64))
+            counts = np.bincount(keys_l, minlength=S3SL_NC).astype(np.int64)
+            nz = counts > 0
+            cents = cents.copy()
+            cents[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+            log(f"scale3sl: Lloyd iter {it} done, {int(nz.sum())} non-empty "
+                f"({time.time()-t_build:.0f}s)")
+        idx.set_centroids(cents)
+        np.save(p_cent, cents)
+        del learn, seeds, cents
+        with open(p_prog, "w") as f:
+            json.dump({"centroid_seconds": round(time.time() - t_build, 1)},
+                      f)
+        log(f"scale3sl: centroids ready ({time.time()-t_build:.0f}s)")
+
+    log("scale3sl: routed assigner setup + match-rate gate ...")
+    idx.enable_fast_assign(w=4, n_super=n_sup, key=jr.PRNGKey(195))
+    sample = np.asarray(gen.batch_device(jr.PRNGKey(999_002), 8192))
+    exact_keys = idx._assign_device_exact(jnp.asarray(sample))
+    match_rate = float(
+        (idx._fast_assigner.assign(sample) == exact_keys).mean())
+    log(f"scale3sl: routed exact-match rate = {match_rate:.4f}")
+    meta["routed_match_rate"] = round(match_rate, 4)
+    if match_rate < 0.98:
+        log("scale3sl: below 0.98 gate — falling back to exact assign")
+        idx._fast_assigner = None
+
+    if os.path.exists(p_pq):
+        idx.load_quantizers(p_pq, p_npq)
+    else:
+        learn = np.asarray(gen.batch_device(jr.PRNGKey(999_003), 262_144))
+        idx.train_pq(key, learn)
+        idx.save_quantizers(p_pq, p_npq)
+        del learn
+        log(f"scale3sl: quantizers ready ({time.time()-t_build:.0f}s)")
+
+    log(f"scale3sl: streaming {S3SL_NB} vectors (routed device build + gt "
+        "+ drift monitor) ...")
+    qj = jnp.asarray(queries)
+    best_d = np.full((S3SL_NQ, 1), np.inf, np.float32)
+    best_l = np.full((S3SL_NQ, 1), -1, np.int64)
+    bs = 1_048_576
+    drift = []
+    for bi, off in enumerate(range(0, S3SL_NB, bs)):
+        blk = gen.batch_device(jr.PRNGKey(3_000_000 + bi),
+                               min(bs, S3SL_NB - off))
+        idx.add_batch_device(blk, np.arange(off, off + blk.shape[0],
+                                            dtype=np.int32))
+        if idx._fast_assigner is not None and bi % 16 == 0:
+            samp = blk[:1024]
+            ek = idx._assign_device_exact(samp)
+            rk = idx._fast_assigner.assign_device(samp)
+            rate = float((np.asarray(rk) == ek).mean())
+            drift.append({"batch": bi, "match_rate": round(rate, 4)})
+            if rate < 0.98:
+                log(f"scale3sl: DRIFT below gate at batch {bi} "
+                    f"({rate:.4f}) — switching to exact assignment")
+                idx._fast_assigner = None
+        d_, i_ = streaming_topk_l2(qj, blk, 1, block=131_072, precision=hi)
+        d_, i_ = np.asarray(d_), np.asarray(i_) + off
+        upd = d_[:, 0] < best_d[:, 0]
+        best_d[upd] = d_[upd]
+        best_l[upd] = i_[upd]
+        if bi % 8 == 0 or off + bs >= S3SL_NB:
+            log(f"  scale3sl: {off + blk.shape[0]}/{S3SL_NB} "
+                f"({time.time()-t_build:.0f}s)")
+    idx._fast_assigner = None
+    gen.release()
+    idx.finalize()
+    build_s = time.time() - t_build + prior_s
+
+    t0 = time.time()
+    idx.write(p_idx)
+    t_write = time.time() - t0
+    np.save(p_gt, best_l)
+    np.save(p_gtd, best_d)
+    meta.update({"build_seconds": round(build_s, 1),
+                 "drift_series": drift,
+                 "write_seconds": round(t_write, 1)})
+    with open(p_meta, "w") as f:
+        json.dump(meta, f)
+    log(f"scale3sl: built in {build_s:.0f}s; write {t_write:.0f}s")
+    return idx, queries, best_l, meta
+
+
+def build_scale4(key):
+    """Residency-ceiling point: 268M vectors on one chip (VERDICT r3
+    item 5). Extends scale3sl's stream (same generator key schedule,
+    batches 128..255; same centroids + quantizers — the reference
+    likewise trains on a subset and adds the rest,
+    test_ivfhnsw_sift1b.cpp:54-162) and merges groundtruth incrementally
+    against the saved scale3sl top-1 distances. The builder is reseeded
+    from the loaded store when scale3sl came from cache (the store holds
+    sorted keys implicitly in its list offsets)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+    from ivfhnsw_tpu import IVFADCIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    from ivfhnsw_tpu.utils.siftlike import SiftLikeDeviceGen
+    import jax
+
+    sdir = os.path.join(CACHE, "scale4")
+    sldir = os.path.join(CACHE, "scale3sl")
+    os.makedirs(sdir, exist_ok=True)
+    p_idx = os.path.join(sdir, "s4.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_meta = os.path.join(sdir, "build_meta.json")
+
+    cfg = IndexConfig(d=D, nc=S3SL_NC, code_size=CODE_SIZE)
+    if all(os.path.exists(p) for p in (p_idx, p_gt, p_meta)):
+        idx = IVFADCIndex(cfg)
+        idx.set_centroids(np.load(os.path.join(sldir, "centroids.npy")))
+        idx.load_quantizers(os.path.join(sldir, "sl.pq"),
+                            os.path.join(sldir, "sl.norm_pq"))
+        idx.read(p_idx)
+        with open(p_meta) as f:
+            meta = json.load(f)
+        return (idx, np.load(os.path.join(sldir, "queries.npy")),
+                np.load(p_gt), meta)
+
+    idx, queries, best_l, meta3 = build_scale3sl(key)
+    best_l = best_l.copy()
+    best_d = np.load(os.path.join(sldir, "gt_d.npy")).copy()
+    t_build = time.time()
+    if idx.builder.ntotal == 0:
+        # scale3sl loaded from cache: reseed the builder from the sorted
+        # store (keys reconstructed from list offsets).
+        log("scale4: reseeding builder from the cached scale3sl store ...")
+        idx.reseed_builder_from_store()
+    idx.release_device()   # free 134M tile layouts; the add path only
+    idx.store = None       # needs centroids + PQ tables on device
+    gen = SiftLikeDeviceGen(n_classes=S3SL_NCLS, sigma=S3SL_SIGMA, seed=7,
+                            skew=S3SL_SKEW)
+    idx.enable_fast_assign(w=4, n_super=2048, key=jr.PRNGKey(195))
+    hi = jax.lax.Precision.HIGH
+    qj = jnp.asarray(queries)
+    bs = 1_048_576
+    drift = []
+    log(f"scale4: extending stream {S3SL_NB} -> {S4_NB} ...")
+    for bi in range(S3SL_NB // bs, S4_NB // bs):
+        off = bi * bs
+        blk = gen.batch_device(jr.PRNGKey(3_000_000 + bi), bs)
+        idx.add_batch_device(blk, np.arange(off, off + bs, dtype=np.int32))
+        if idx._fast_assigner is not None and bi % 16 == 0:
+            samp = blk[:1024]
+            ek = idx._assign_device_exact(samp)
+            rk = idx._fast_assigner.assign_device(samp)
+            rate = float((np.asarray(rk) == ek).mean())
+            drift.append({"batch": bi, "match_rate": round(rate, 4)})
+            if rate < 0.98:
+                log(f"scale4: DRIFT below gate at batch {bi} ({rate:.4f})"
+                    " — switching to exact assignment")
+                idx._fast_assigner = None
+        d_, i_ = streaming_topk_l2(qj, blk, 1, block=131_072, precision=hi)
+        d_, i_ = np.asarray(d_), np.asarray(i_) + off
+        upd = d_[:, 0] < best_d[:, 0]
+        best_d[upd] = d_[upd]
+        best_l[upd] = i_[upd]
+        if bi % 8 == 0 or off + bs >= S4_NB:
+            log(f"  scale4: {off + bs}/{S4_NB} "
+                f"({time.time()-t_build:.0f}s)")
+    idx._fast_assigner = None
+    gen.release()
+    log("scale4: finalize (268M host sort) ...")
+    idx.finalize()
+    ext_s = time.time() - t_build
+
+    t0 = time.time()
+    idx.write(p_idx)
+    t_write = time.time() - t0
+    np.save(p_gt, best_l)
+    meta = {"extend_seconds": round(ext_s, 1),
+            "build_seconds": round(ext_s + meta3["build_seconds"], 1),
+            "drift_series": drift,
+            "write_seconds": round(t_write, 1)}
+    with open(p_meta, "w") as f:
+        json.dump(meta, f)
+    log(f"scale4: extended in {ext_s:.0f}s; write {t_write:.0f}s")
     return idx, queries, best_l, meta
 
 
@@ -1571,6 +1958,58 @@ def main():
     except NameError:
         pass
 
+    # --- deep: DEEP1B-shaped d=96 point (non-128-aligned lanes, dsub=6)
+    try:
+        if skip_stage("deep", ["deep/deep.index", "deep/ceiling.json"],
+                      900, 300):
+            raise _StageSkipped()
+        log("deep: build/load ...")
+        dpx, dpq_, dpgt, dp_build_s = build_deep(key)
+        spd = SearchParams(k=K, nprobe=DEEP_NPROBE, max_codes=DEEP_MC)
+        dp_dem = int(dpx.scan_slot_demand(dpq_, spd).max())
+        spd = SearchParams(k=K, nprobe=DEEP_NPROBE, max_codes=DEEP_MC,
+                           scan_budget=dp_dem * dpx.scan_unit())
+        log("deep: warmup + timed runs ...")
+        dp_qps, dp_labels, dp_sl_us = timed_qps(dpx, dpq_, spd, runs=2,
+                                                reshape=None, depth=8)
+        dprec = recall_at_k(dp_labels, dpgt, ks=(1, 10))
+        spd100 = SearchParams(k=100, nprobe=DEEP_NPROBE, max_codes=DEEP_MC,
+                              scan_budget=dp_dem * dpx.scan_unit())
+        _, dpl100 = dpx.search(dpq_, spd100, batch=256)
+        dpr100 = recall_at_k(dpl100, dpgt, ks=(100,))
+        p_ceild = os.path.join(CACHE, "deep", "ceiling.json")
+        if os.path.exists(p_ceild):
+            with open(p_ceild) as f:
+                dpceil = {int(kk): v for kk, v in json.load(f).items()}
+        else:
+            log("deep: exact-ADC ceiling ...")
+            dpceil = exact_adc_ceiling(
+                dpx, dpq_[:1024], dpgt[:1024], ks=(1, 10, 100),
+                precision=jax.lax.Precision.HIGH, blk=131_072)
+            with open(p_ceild, "w") as f:
+                json.dump({str(kk): v for kk, v in dpceil.items()}, f)
+        result.update({
+            "deep_nb": DEEP_NB, "deep_d": DEEP_D, "deep_nc": DEEP_NC,
+            "deep_qps_nprobe128": round(dp_qps, 1),
+            "deep_us_per_query": round(1e6 / dp_qps, 2),
+            "deep_us_per_query_single_launch": round(dp_sl_us, 2),
+            "deep_pipeline_depth": 8,
+            "deep_recall_at_1": round(dprec[1], 4),
+            "deep_recall_at_10": round(dprec[10], 4),
+            "deep_recall_at_100": round(dpr100[100], 4),
+            "deep_ceiling_at_1": round(dpceil[1], 4),
+            "deep_ceiling_at_10": round(dpceil[10], 4),
+            "deep_ceiling_at_100": round(dpceil.get(100, 0.0), 4),
+            "deep_build_seconds": round(dp_build_s, 1),
+        })
+        dpx.release_device()
+    except _StageSkipped:
+        pass
+    except Exception as e:
+        log(f"deep bench failed: {type(e).__name__}: {e}")
+        result["deep_error"] = str(e)[:200]
+    checkpoint("deep")
+
     # --- scale2: canonical list economics (128M vectors, ~1000 codes/list,
     # nprobe=128, max_codes=100k, routed-assigner build)
     try:
@@ -1816,12 +2255,152 @@ def main():
                 dec3["exact_unlimited"]["1"])
         except Exception as e:
             log(f"scale3 decomposition failed: {type(e).__name__}: {e}")
+        s3idx.release_device()   # scale3sl/scale4 need the HBM next
     except _StageSkipped:
         pass
     except Exception as e:
         log(f"scale3 bench failed: {type(e).__name__}: {e}")
         result["scale3_error"] = str(e)[:200]
     checkpoint("scale3")
+
+    # --- scale3sl: canonical geometry x SIFT statistics — the recall-
+    # parity north star measured, not extrapolated (VERDICT r3 item 2):
+    # reference centroid count, paper-band ceiling, and the reference's
+    # nprobe x max_codes operating-point sweep in one stage.
+    try:
+        if skip_stage("scale3sl", ["scale3sl/sl.index",
+                                   "scale3sl/ceiling.json"], 6500, 700):
+            raise _StageSkipped()
+        log("scale3sl: build/load ...")
+        slx, slxq, slxgt, slxmeta = build_scale3sl(key)
+        curve = []
+        for npb, mc in S3SL_SWEEP:
+            spx = SearchParams(k=K, nprobe=npb, max_codes=mc)
+            dem = int(slx.scan_slot_demand(slxq, spx).max())
+            spx = SearchParams(k=K, nprobe=npb, max_codes=mc,
+                               scan_budget=dem * slx.scan_unit())
+            log(f"scale3sl: timed runs nprobe={npb} max_codes={mc} ...")
+            qps_x, labels_x, sl_us_x = timed_qps(slx, slxq, spx, runs=2,
+                                                 reshape=None, depth=8)
+            rec_x = recall_at_k(labels_x, slxgt, ks=(1, 10))
+            curve.append({"nprobe": npb, "max_codes": mc,
+                          "qps": round(qps_x, 1),
+                          "us_per_query": round(1e6 / qps_x, 2),
+                          "us_per_query_single_launch": round(sl_us_x, 2),
+                          "recall_at_1": round(rec_x[1], 4),
+                          "recall_at_10": round(rec_x[10], 4)})
+        top_np, top_mc = S3SL_SWEEP[-1]
+        sp_100 = SearchParams(k=100, nprobe=top_np, max_codes=top_mc)
+        dem = int(slx.scan_slot_demand(slxq, sp_100).max())
+        sp_100 = SearchParams(k=100, nprobe=top_np, max_codes=top_mc,
+                              scan_budget=dem * slx.scan_unit())
+        _, l100_x = slx.search(slxq, sp_100, batch=256)
+        r100_x = recall_at_k(l100_x, slxgt, ks=(100,))
+        p_ceil = os.path.join(CACHE, "scale3sl", "ceiling.json")
+        if os.path.exists(p_ceil):
+            with open(p_ceil) as f:
+                slxceil = {int(kk): v for kk, v in json.load(f).items()}
+        else:
+            log("scale3sl: exact-ADC ceiling (1024 queries, 134M codes)")
+            slxceil = exact_adc_ceiling(
+                slx, slxq, slxgt, ks=(1, 10, 100),
+                precision=jax.lax.Precision.HIGH, blk=131_072)
+            with open(p_ceil, "w") as f:
+                json.dump({str(kk): v for kk, v in slxceil.items()}, f)
+        drift = slxmeta.get("drift_series", [])
+        best = curve[-1]
+        result.update({
+            "scale3sl_nb": S3SL_NB, "scale3sl_nc": S3SL_NC,
+            "scale3sl_sigma": slxmeta.get("sigma"),
+            "scale3sl_skew": slxmeta.get("skew"),
+            "scale3sl_curve": curve,
+            "scale3sl_qps_nprobe128_mc100k": best["qps"],
+            "scale3sl_us_per_query": best["us_per_query"],
+            "scale3sl_us_per_query_single_launch":
+                best["us_per_query_single_launch"],
+            "scale3sl_pipeline_depth": 8,
+            "scale3sl_recall_at_1": best["recall_at_1"],
+            "scale3sl_recall_at_10": best["recall_at_10"],
+            "scale3sl_recall_at_100": round(r100_x[100], 4),
+            "scale3sl_ceiling_at_1": round(slxceil[1], 4),
+            "scale3sl_ceiling_at_10": round(slxceil[10], 4),
+            "scale3sl_ceiling_at_100": round(slxceil.get(100, 0.0), 4),
+            "scale3sl_recall_frac_of_ceiling_at_1": round(
+                best["recall_at_1"] / max(slxceil[1], 1e-9), 4),
+            "scale3sl_build_seconds": slxmeta["build_seconds"],
+            "scale3sl_routed_match_rate": slxmeta.get("routed_match_rate"),
+            "scale3sl_drift_min_match_rate": (
+                round(min(d["match_rate"] for d in drift), 4)
+                if drift else None),
+        })
+        slx.release_device()
+    except _StageSkipped:
+        pass
+    except Exception as e:
+        log(f"scale3sl bench failed: {type(e).__name__}: {e}")
+        result["scale3sl_error"] = str(e)[:200]
+    checkpoint("scale3sl")
+
+    # --- scale4: the chip's residency ceiling — 268M vectors searched on
+    # one chip with measured HBM occupancy (VERDICT r3 item 5; SCALING.md's
+    # ~250M/v5e arithmetic, demonstrated).
+    try:
+        if skip_stage("scale4", ["scale4/s4.index",
+                                 "scale4/ceiling.json"], 5000, 800):
+            raise _StageSkipped()
+        log("scale4: build/load ...")
+        s4x, s4q, s4gt, s4meta = build_scale4(key)
+        sp4 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC)
+        s4_dem = int(s4x.scan_slot_demand(s4q, sp4).max())
+        sp4 = SearchParams(k=K, nprobe=S3_NPROBE, max_codes=S3_MC,
+                           scan_budget=s4_dem * s4x.scan_unit())
+        log("scale4: warmup + timed runs ...")
+        s4_qps, s4_labels, s4_sl_us = timed_qps(s4x, s4q, sp4, runs=2,
+                                                reshape=None, depth=8)
+        s4rec = recall_at_k(s4_labels, s4gt, ks=(1, 10))
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            hbm_gb = round(stats.get("bytes_in_use", 0) / 2**30, 2)
+            hbm_cap = round(stats.get("bytes_limit", 0) / 2**30, 2)
+        except Exception:
+            hbm_gb, hbm_cap = None, None
+        p_ceil4 = os.path.join(CACHE, "scale4", "ceiling.json")
+        if os.path.exists(p_ceil4):
+            with open(p_ceil4) as f:
+                s4ceil = {int(kk): v for kk, v in json.load(f).items()}
+        else:
+            log("scale4: exact-ADC ceiling (1024 queries, 268M codes)")
+            s4ceil = exact_adc_ceiling(
+                s4x, s4q, s4gt, ks=(1, 10),
+                precision=jax.lax.Precision.HIGH, blk=131_072)
+            with open(p_ceil4, "w") as f:
+                json.dump({str(kk): v for kk, v in s4ceil.items()}, f)
+        drift4 = s4meta.get("drift_series", [])
+        result.update({
+            "scale4_nb": S4_NB, "scale4_nc": S3SL_NC,
+            "scale4_qps_nprobe128_mc100k": round(s4_qps, 1),
+            "scale4_us_per_query": round(1e6 / s4_qps, 2),
+            "scale4_us_per_query_single_launch": round(s4_sl_us, 2),
+            "scale4_pipeline_depth": 8,
+            "scale4_recall_at_1": round(s4rec[1], 4),
+            "scale4_recall_at_10": round(s4rec[10], 4),
+            "scale4_ceiling_at_1": round(s4ceil[1], 4),
+            "scale4_ceiling_at_10": round(s4ceil[10], 4),
+            "scale4_hbm_in_use_gb": hbm_gb,
+            "scale4_hbm_limit_gb": hbm_cap,
+            "scale4_extend_seconds": s4meta.get("extend_seconds"),
+            "scale4_build_seconds": s4meta.get("build_seconds"),
+            "scale4_drift_min_match_rate": (
+                round(min(d["match_rate"] for d in drift4), 4)
+                if drift4 else None),
+        })
+        s4x.release_device()
+    except _StageSkipped:
+        pass
+    except Exception as e:
+        log(f"scale4 bench failed: {type(e).__name__}: {e}")
+        result["scale4_error"] = str(e)[:200]
+    checkpoint("scale4")
 
     # --- 1B assign+encode (tools/build_1b.py writes this artifact; the
     # bench only REPORTS it — the run itself is multi-hour)

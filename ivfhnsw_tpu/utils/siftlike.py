@@ -121,7 +121,7 @@ class SiftLikeDeviceGen:
     lesson, bench.py make_scale3_gen)."""
 
     def __init__(self, n_classes: int = 1 << 22, sigma: float = 0.75,
-                 seed: int = 0):
+                 seed: int = 0, skew: float = 1.0):
         import functools
         import jax
         import jax.numpy as jnp
@@ -129,6 +129,16 @@ class SiftLikeDeviceGen:
 
         self.n_classes = int(n_classes)
         self.sigma = float(sigma)
+        # Class-popularity skew: cls = floor(ncls * u^skew), u~U(0,1).
+        # skew=1 is uniform; skew>1 concentrates mass on low class ids
+        # (density ~ c^(1/skew - 1), Zipf-like). Real SIFT is full of
+        # near-duplicate patches — popular classes supply the
+        # near-duplicate competition that sets the exact-ADC ceiling,
+        # while the tail keeps residual diversity high; a UNIFORM class
+        # distribution cannot do both at canonical geometry (measured:
+        # ceiling@1 0.96-0.97 across n_classes 2^18-2^21 at nb=8M,
+        # nc=2^16 — tools/siftlike_scale_calibrate.py, 2026-08-19).
+        self.skew = float(skew)
         kd, kw, kc = jr.split(jr.PRNGKey(seed), 3)
         dom = jr.randint(kd, (self.n_classes, 1), 0, BINS)
         wob = jr.randint(kw, (self.n_classes, CELLS), -1, 2)
@@ -146,7 +156,13 @@ class SiftLikeDeviceGen:
         @functools.partial(jax.jit, static_argnames="n")
         def _gen(dom_t, cell_log_t, key, n):
             kc_, kj_ = jr.split(key)
-            cls = jr.randint(kc_, (n,), 0, self.n_classes)
+            if self.skew != 1.0:
+                u = jr.uniform(kc_, (n,), jnp.float32)
+                cls = jnp.clip((u ** self.skew
+                                * self.n_classes).astype(jnp.int32),
+                               0, self.n_classes - 1)
+            else:
+                cls = jr.randint(kc_, (n,), 0, self.n_classes)
             domb = dom_t[cls].astype(jnp.int32)               # [n, 16]
             shift = (jnp.arange(BINS)[None, None, :]
                      - domb[:, :, None]) % BINS               # [n, 16, 8]

@@ -6,14 +6,17 @@ run_sift1b.sh operating points) at its OWN corpus size — the 2M siftlike
 stage's sigma=0.75 overshot to 0.48, and ceilings compress with corpus
 density, so the knob must be re-picked at the target density ratios.
 
-Probe geometry holds the two density ratios of the full stage constant
-(134M / nc=2^20 = 128 vectors per centroid; 32 vectors per appearance
-class) at 1/16 scale: nb=8M, nc=2^16, n_classes=2^18. The winning sigma
-feeds bench.py's scale3sl stage; a modest downward drift from probe to
-full size is expected and is why the target band here is the UPPER half
-of the paper band.
+Probe geometry holds the density ratios of the full stage constant at
+1/16 scale: nb=8M, nc=2^16; the sweep is over (sigma, n_classes).
+FIRST PROBE FINDING (2026-08-19): at 4 classes/centroid (n_classes=2^18)
+the ceiling@1 is 0.96 — each centroid covers ~one class, so residuals
+are pure intra-class jitter and 16-byte PQ nails them. The knob that
+moves the ceiling into the paper band is CLASSES PER CENTROID (residual
+diversity), not sigma: the 2M siftlike stage's near-band 0.48 came from
+16 classes/centroid. The winning (sigma, n_classes/nc ratio) feeds
+bench.py's scale3sl stage.
 
-Usage: python tools/siftlike_scale_calibrate.py [sigma ...]
+Usage: python tools/siftlike_scale_calibrate.py [sigma:n_classes:skew ...]
 """
 
 import os
@@ -27,13 +30,12 @@ sys.path.insert(0, ROOT)
 
 NB = 8 * 1024 * 1024
 NC = 1 << 16
-NCLS = 1 << 18
 NQ = 256
 D = 128
 CODE_SIZE = 128  # 16-byte PQ codes, the reference's sift1b operating point
 
 
-def probe(sigma: float) -> float:
+def probe(sigma: float, ncls: int, skew: float) -> float:
     import jax
     import jax.numpy as jnp
     import jax.random as jr
@@ -43,7 +45,8 @@ def probe(sigma: float) -> float:
     import bench
 
     t0 = time.time()
-    gen = SiftLikeDeviceGen(n_classes=NCLS, sigma=sigma, seed=0)
+    gen = SiftLikeDeviceGen(n_classes=ncls, sigma=sigma, seed=0,
+                            skew=skew)
     cfg = IndexConfig(d=D, nc=NC, code_size=CODE_SIZE)
     idx = IVFADCIndex(cfg)
 
@@ -51,7 +54,7 @@ def probe(sigma: float) -> float:
     idx.train_centroids(jr.PRNGKey(2), learn, niter=4)
     idx.train_pq(jr.PRNGKey(3), learn[:262_144])
     del learn
-    print(f"  sigma={sigma}: trained ({time.time()-t0:.0f}s)", flush=True)
+    print(f"  sigma={sigma} ncls={ncls} skew={skew}: trained ({time.time()-t0:.0f}s)", flush=True)
 
     # Queries HELD OUT via a disjoint key domain (same generative process,
     # never inserted).
@@ -72,25 +75,28 @@ def probe(sigma: float) -> float:
         best_l[upd] = i_[upd]
     idx.finalize()
     gen.release()
-    print(f"  sigma={sigma}: built {NB} ({time.time()-t0:.0f}s)",
+    print(f"  sigma={sigma} ncls={ncls} skew={skew}: built {NB} ({time.time()-t0:.0f}s)",
           flush=True)
 
     ceil = bench.exact_adc_ceiling(idx, queries, best_l, ks=(1, 10),
                                    precision=hp, blk=131_072)
     idx.release_device()
-    print(f"  sigma={sigma}: ceiling@1={ceil[1]:.4f} ceiling@10="
+    print(f"  sigma={sigma} ncls={ncls} skew={skew}: ceiling@1={ceil[1]:.4f} ceiling@10="
           f"{ceil[10]:.4f} ({time.time()-t0:.0f}s)", flush=True)
     return ceil[1]
 
 
 def main():
-    sigmas = ([float(a) for a in sys.argv[1:]]
-              or [0.75, 0.95, 1.15])
-    print(f"probe: nb={NB} nc={NC} n_classes={NCLS} "
-          f"(ratios of the 134M/2^20/2^22 target)", flush=True)
-    for s in sigmas:
-        r = probe(s)
-        print(f"RESULT sigma={s} ceiling_at_1={r:.4f}", flush=True)
+    specs = []
+    for a in (sys.argv[1:] or ["0.75:1048576:3"]):
+        parts = a.split(":")
+        specs.append((float(parts[0]), int(parts[1]),
+                      float(parts[2]) if len(parts) > 2 else 1.0))
+    print(f"probe: nb={NB} nc={NC} sweep={specs}", flush=True)
+    for s, n, sk in specs:
+        r = probe(s, n, sk)
+        print(f"RESULT sigma={s} n_classes={n} skew={sk} "
+              f"ceiling_at_1={r:.4f}", flush=True)
 
 
 if __name__ == "__main__":
