@@ -83,15 +83,21 @@ S3_NPROBE, S3_MC = 128, 100_000
 # operating-point sweep (run_sift1b.sh:38-44). sigma calibrated at this
 # stage's density ratios by tools/siftlike_scale_calibrate.py.
 S3SL_NB, S3SL_NC, S3SL_NQ = 134_217_728, 1_048_576, 1024
-# Class distribution calibrated by tools/siftlike_scale_calibrate.py at
-# this stage's density ratios (nb/n_classes=8, n_classes/nc=16): a
-# UNIFORM class distribution yields ceiling@1 0.96-0.97 at canonical
-# geometry regardless of n_classes (residuals are pure intra-class
-# jitter); the Zipf-like skew restores near-duplicate competition and
-# puts the ceiling in the paper's regime.
-S3SL_NCLS = 1 << 24
+# Generator knobs calibrated at this stage's density ratios (nb=8M,
+# nc=2^16 probe — tools/siftlike_scale_calibrate.py, 2026-08-19). Every
+# knob measured INSENSITIVE at 128 codes/list: n_classes 2^18..2^21 ->
+# ceiling@1 0.96-0.98; skew 3/5 -> 0.98/0.97; sigma 0.75/1.1/1.4 ->
+# 0.97/0.96/0.95. The ceiling is set by nb/nc (residual size): 256-488
+# codes/list measures ~0.48-0.50, 128/list ~0.96. The paper's 0.3-0.45
+# band is a 1B-DENSITY phenomenon (954 codes/list at nc=2^20); at 134M
+# the same geometry is structurally easier, so scale3sl records the
+# canonical-nc point of the measured density curve (ceiling >= 0.3 --
+# VERDICT item 2's bar -- holds with a wide margin) and scale4 (256/list)
+# records the next density point toward the band. Defaults stay at the
+# SIFT-faithful values; skew=1 (uniform) since skew bought nothing.
+S3SL_NCLS = 1 << 22
 S3SL_SIGMA = 0.75
-S3SL_SKEW = 3.0
+S3SL_SKEW = 1.0
 S3SL_SWEEP = ((32, 10_000), (64, 30_000), (128, 100_000))
 # scale4: the chip's residency ceiling (VERDICT r3 item 5): 268M vectors
 # (2 x scale3sl, ~256 codes/list) searched on ONE chip — extends
@@ -1077,10 +1083,14 @@ def build_scale3sl(key):
     """Canonical geometry x SIFT statistics: 134M SiftLikeDeviceGen
     vectors at nc=2^20. Same build skeleton as build_scale3 (hierarchical
     seeding + routed-Lloyd + routed streaming add with drift monitor +
-    streamed exact top-1 groundtruth), but on the corpus whose exact-ADC
-    ceiling sits in the reference paper's recall band — so recall parity
-    at reference geometry is measured, not extrapolated (VERDICT r3
-    item 2; reference operating points: examples/run_sift1b.sh:38-44).
+    streamed exact top-1 groundtruth), but on the SIFT-statistics corpus —
+    so recall at reference geometry is measured, not extrapolated (VERDICT
+    r3 item 2; reference operating points: examples/run_sift1b.sh:38-44).
+    At 134M/2^20 (128 codes/list) the exact-ADC ceiling is structurally
+    high (~0.96 at the calibration probe's matched ratios) because
+    residuals are small; the paper's 0.3-0.45 band is a 1B-density
+    (954 codes/list) phenomenon — see the S3SL_* comment and scale4 for
+    the measured density curve toward it.
     Saves gt distances too (gt_d.npy) so build_scale4 can extend the
     stream and merge groundtruth incrementally."""
     import jax
@@ -1881,15 +1891,16 @@ def main():
         gidx = build_grouping(key)
         gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                           do_pruning=True)
+        g_gran = gidx.scan_unit()
         g_dem = int(gidx.scan_slot_demand(queries, gp).max())
-        log(f"grouping: scan chunks profiled {g_dem}")
+        log(f"grouping: scan slots profiled {g_dem} (unit {g_gran})")
         gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
-                          do_pruning=True, scan_budget=g_dem * 256)
+                          do_pruning=True, scan_budget=g_dem * g_gran)
         log("grouping: warmup + timed runs (device-resident) ...")
         g_qps, gl, g_sl_us = timed_qps(gidx, queries, gp, reshape=None)
         grec = recall_at_k(gl, gt, ks=(1, 10))
         gp100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
-                             do_pruning=True, scan_budget=g_dem * 256)
+                             do_pruning=True, scan_budget=g_dem * g_gran)
         _, gl100 = gidx.search(queries[:CEIL_NQ], gp100)
         gr100 = recall_at_k(gl100, gt[:CEIL_NQ], ks=(100,))
         gceil = exact_adc_ceiling_grouping(gidx, queries[:CEIL_NQ], gt,
@@ -2265,8 +2276,9 @@ def main():
 
     # --- scale3sl: canonical geometry x SIFT statistics — the recall-
     # parity north star measured, not extrapolated (VERDICT r3 item 2):
-    # reference centroid count, paper-band ceiling, and the reference's
-    # nprobe x max_codes operating-point sweep in one stage.
+    # reference centroid count, SIFT-statistics corpus, and the
+    # reference's nprobe x max_codes operating-point sweep in one stage
+    # (ceiling is density-bound ~0.96 at 128 codes/list — see S3SL_*).
     try:
         if skip_stage("scale3sl", ["scale3sl/sl.index",
                                    "scale3sl/ceiling.json"], 6500, 700):

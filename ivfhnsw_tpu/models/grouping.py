@@ -238,6 +238,12 @@ class IVFADCGroupingIndex(IVFADCIndex):
         self._alpha_num = np.zeros(config.nc, np.float64)
         self._alpha_den = np.zeros(config.nc, np.float64)
         self.do_pruning = False
+        # Pallas HBM tile layout over GROUP windows: "auto" picks by average
+        # group size like IVFADCIndex._resolve_layout; "quad" additionally
+        # replaces the chunk kernel's per-chunk term2 table rewrite with one
+        # broadcast gather per 1024-code tile (grouping_scan
+        # _grouping_kernel_quad).
+        self.scan_layout = "auto"
         # Builder over flattened (centroid, subc) lists.
         self.builder = PostingListBuilder(config.nc * config.nsubc,
                                           config.pq_m)
@@ -461,7 +467,9 @@ class IVFADCGroupingIndex(IVFADCIndex):
                                                streaming_topk_l2)
         nprobe = min(params.nprobe or self.nprobe, self.nc)
         store = self._ensure_store()
-        tiled = store.tiled_grouped(self.nsubc)
+        tiled = (store.quad_grouped(self.nsubc)
+                 if self._resolve_layout() == "quad"
+                 else store.tiled_grouped(self.nsubc))
         tile_counts = np.diff(
             np.asarray(tiled.tile_offsets)).astype(np.int64)[:self.nc]
         gsizes = np.asarray(tiled.list_sizes[:self.nc]).astype(np.int64)
@@ -488,7 +496,10 @@ class IVFADCGroupingIndex(IVFADCIndex):
     def _grouping_pallas_setup(self, params: SearchParams, nprobe: int):
         from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
         store = self._ensure_store()
-        tiled = store.tiled_grouped(self.nsubc)
+        layout = self._resolve_layout()
+        gran = gs.RCHUNK if layout == "quad" else gs.CHUNK
+        tiled = (store.quad_grouped(self.nsubc) if layout == "quad"
+                 else store.tiled_grouped(self.nsubc))
         off = np.asarray(store.list_offsets)
         sub_sizes = jnp.asarray(
             (off[1:] - off[:-1]).reshape(self.nc, self.nsubc)
@@ -512,13 +523,13 @@ class IVFADCGroupingIndex(IVFADCIndex):
         else:
             top_demand = 0
         if params.max_codes and params.max_codes > 0 and not params.do_pruning:
-            nch = min((params.max_codes + mx) // gs.CHUNK + nprobe + 1,
+            nch = min((params.max_codes + mx) // gran + nprobe + 1,
                       top_demand)
         else:
             nch = top_demand
         if params.scan_budget is not None:
-            # Profile-guided cap (see scan_slot_demand): lanes -> chunks.
-            nch = min(nch, -(-params.scan_budget // gs.CHUNK))
+            # Profile-guided cap (see scan_slot_demand): lanes -> slots.
+            nch = min(nch, -(-params.scan_budget // gran))
         args = (self.centroids, self.centroid_norms, self.pq.codebooks,
                 self.norm_pq.centroids,
                 self.opq_R if self.do_opq else jnp.zeros((0, 0), jnp.float32),
@@ -531,7 +542,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
                                    _round_up(self.nc, 128)),
                   use_opq=self.do_opq, do_pruning=params.do_pruning,
                   coarse_approx=self._coarse_approx(params),
-                  coarse_recall=params.coarse_recall)
+                  coarse_recall=params.coarse_recall, layout=layout)
         return args, kw
 
     def _search_pallas_grouping(self, blk, params: SearchParams, nprobe: int,

@@ -290,6 +290,67 @@ class PostingListStore:
         )
         return self._tiled
 
+    def quad_grouped(self, nsubc: int, max_m: int = 16) -> TiledStore:
+        """QUAD variant of :meth:`tiled_grouped`: groups 1024-aligned, four
+        256-code chunks per [72, 256] u8 tile. Code rows interleave 4m+c
+        like :meth:`quad`; rows 64..67 hold the chunks' norm codes and the
+        four PAD rows 68..71 carry each chunk's per-position subcentroid
+        index — the quad grouping kernel gathers the probe's term2 row by
+        those ids, so one DMA moves 1024 group codes at 18 B/code and the
+        per-chunk term2 table write of the chunk-layout kernel becomes one
+        broadcast gather per QUAD tile (ops.pallas.grouping_scan).
+        Alignment overhead is < QCHUNK codes per non-empty group."""
+        if self._quad is not None:
+            return self._quad
+        if self.nc % nsubc != 0:
+            raise ValueError("store nc not divisible by nsubc")
+        ngroups = self.nc // nsubc
+        off = np.asarray(self.list_offsets).astype(np.int64)
+        gsizes = (off[1:] - off[:-1]).reshape(ngroups, nsubc).sum(axis=1)
+        qcnt = (gsizes + QCHUNK - 1) // QCHUNK
+        qoff = np.zeros(ngroups + 1, np.int64)
+        np.cumsum(qcnt, out=qoff[1:])
+        nqt = max(int(qoff[-1]), 1)
+        n_al = nqt * QCHUNK
+        _check_f32_exact(gsizes, nqt)
+
+        codes = np.asarray(self.codes)
+        ncodes = np.asarray(self.norm_codes)
+        ids = np.asarray(self.ids)
+        m = codes.shape[1]
+        if m > max_m:
+            raise ValueError(f"code_size {m} > tile budget {max_m}")
+
+        group_lo = off[:-1].reshape(ngroups, nsubc)[:, 0]
+        list_of = np.repeat(np.arange(self.nc), off[1:] - off[:-1])
+        group_of = list_of // nsubc
+        subc_of = (list_of % nsubc).astype(np.uint8)
+        within_group = np.arange(self.ntotal) - group_lo[group_of]
+        dest = qoff[group_of] * QCHUNK + within_group
+
+        codes_al = np.zeros((n_al, max_m), np.uint8)
+        norm_al = np.zeros(n_al, np.uint8)
+        subc_al = np.zeros(n_al, np.uint8)
+        ids_al = np.full(n_al, -1, np.int32)
+        codes_al[dest, :m] = codes
+        norm_al[dest] = ncodes
+        subc_al[dest] = subc_of
+        ids_al[dest] = ids
+
+        c4 = codes_al.reshape(nqt, 4, CHUNK, max_m)
+        qt = np.zeros((nqt, QROWS, CHUNK), np.uint8)
+        qt[:, :64, :] = c4.transpose(0, 3, 1, 2).reshape(nqt, 64, CHUNK)
+        qt[:, 64:68, :] = norm_al.reshape(nqt, 4, CHUNK)
+        qt[:, 68:72, :] = subc_al.reshape(nqt, 4, CHUNK)
+
+        self._quad = TiledStore(
+            tiles=jnp.asarray(qt),
+            ids_aligned=jnp.asarray(ids_al),
+            tile_offsets=jnp.asarray(qoff.astype(np.int32)),
+            list_sizes=jnp.asarray(gsizes.astype(np.int32)),
+        )
+        return self._quad
+
 
 class PostingListBuilder:
     """Accumulates (centroid key, id, code, norm code) batches; finalize()

@@ -31,57 +31,76 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ivfhnsw_tpu.ops.pallas.adc_scan import (CHUNK, CPS, DEPTH, LUT_ROWS,
-                                             TL_PACK, build_luts_ext)
+from ivfhnsw_tpu.ops.pallas.adc_scan import (CHUNK, CPS, CPSQ, DEPTH,
+                                             DEPTH_Q, LUT_ROWS, QROWS, RCHUNK,
+                                             RTL_PACK, TL_PACK, build_luts_ext,
+                                             build_luts_quad)
 from ivfhnsw_tpu.ops.topk import binned_topk_smallest
 
 SUBC_ROW = 17
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("nch",))
-def grouping_chunk_metadata(probes, term1, eff_sizes, scan_sizes,
-                            tile_offsets, max_codes, nch: int):
-    """Chunk schedule at group granularity.
+def _grouping_schedule(probes, term1, eff_sizes, scan_sizes, tile_offsets,
+                       max_codes, n: int, gran: int, pack: int):
+    """Shared slot-schedule builder at group granularity (gran=CHUNK for
+    the per-chunk layout, gran=RCHUNK for the quad layout).
 
     probes [B, P] (ascending distance); term1 [B, P]; eff_sizes [B, P] =
     unpruned code counts (budget accounting); scan_sizes [B, P] = full group
-    window lengths. Returns (tl packed [B, nch], bias [B, nch], seg [B, nch])."""
+    window lengths. Returns (tl packed [B, n], bias [B, n], seg [B, n])."""
     B, P = probes.shape
     cum_before = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32),
          jnp.cumsum(eff_sizes, axis=1)[:, :-1]], axis=1)
     included = jnp.logical_or(max_codes <= 0, cum_before < max_codes)
-    tcnt = jnp.where(included, (scan_sizes + CHUNK - 1) // CHUNK, 0)
+    tcnt = jnp.where(included, (scan_sizes + gran - 1) // gran, 0)
     bounds = jnp.cumsum(tcnt, axis=1)
     starts = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), bounds[:, :-1]], axis=1)
-    j = jnp.arange(nch, dtype=jnp.int32)
+    j = jnp.arange(n, dtype=jnp.int32)
 
     # 8-lane packed row gather + one-hot einsum selection — see
     # adc_scan.chunk_metadata for why (1-lane gathers and take_along_axis
     # on [B, P] rows are ~ms-scale on TPU; this form is ~5-20x faster).
-    pack = jnp.pad(tile_offsets.astype(jnp.float32)[:, None],
-                   ((0, 0), (0, 7)))
-    tile_off = jnp.take(pack, probes, axis=0)[..., 0]           # [B, P]
+    packed = jnp.pad(tile_offsets.astype(jnp.float32)[:, None],
+                     ((0, 0), (0, 7)))
+    tile_off = jnp.take(packed, probes, axis=0)[..., 0]         # [B, P]
     oh = jnp.logical_and(starts[:, None, :] <= j[None, :, None],
-                         bounds[:, None, :] > j[None, :, None])  # [B,nch,P]
+                         bounds[:, None, :] > j[None, :, None])  # [B, n, P]
     vals = jnp.stack([starts.astype(jnp.float32),
                       scan_sizes.astype(jnp.float32), term1, tile_off,
                       jnp.broadcast_to(
                           jnp.arange(P, dtype=jnp.float32)[None, :], (B, P))],
                      axis=-1)                                   # [B, P, 5]
     sel = jnp.einsum("bjp,bpv->bjv", oh.astype(jnp.float32), vals,
-                     precision=jax.lax.Precision.HIGHEST)       # [B, nch, 5]
+                     precision=jax.lax.Precision.HIGHEST)       # [B, n, 5]
     valid = j[None, :] < bounds[:, -1:]
     within = j[None, :] - jnp.round(sel[..., 0]).astype(jnp.int32)
     tile = jnp.round(sel[..., 3]).astype(jnp.int32) + within
-    ln = jnp.clip(jnp.round(sel[..., 1]).astype(jnp.int32) - within * CHUNK,
-                  0, CHUNK)
+    ln = jnp.clip(jnp.round(sel[..., 1]).astype(jnp.int32) - within * gran,
+                  0, gran)
     seg_c = jnp.round(sel[..., 4]).astype(jnp.int32)
-    tl = jnp.where(valid, tile, 0) * TL_PACK + jnp.where(valid, ln, 0)
+    tl = jnp.where(valid, tile, 0) * pack + jnp.where(valid, ln, 0)
     bias = jnp.where(valid, sel[..., 2], 0.0)
     return tl, bias, jnp.where(valid, seg_c, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def grouping_chunk_metadata(probes, term1, eff_sizes, scan_sizes,
+                            tile_offsets, max_codes, nch: int):
+    """Chunk-granular schedule (per-chunk tile layout)."""
+    return _grouping_schedule(probes, term1, eff_sizes, scan_sizes,
+                              tile_offsets, max_codes, nch, CHUNK, TL_PACK)
+
+
+@functools.partial(jax.jit, static_argnames=("nquad",))
+def grouping_quad_metadata(probes, term1, eff_sizes, scan_sizes,
+                           qtile_offsets, max_codes, nquad: int):
+    """RCHUNK-granular schedule against QUAD grouped tile indices."""
+    return _grouping_schedule(probes, term1, eff_sizes, scan_sizes,
+                              qtile_offsets, max_codes, nquad, RCHUNK,
+                              RTL_PACK)
 
 
 def _grouping_kernel(tl_smem, seg_smem, luts_ref, t2_ref, tiles_hbm,
@@ -219,15 +238,161 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
     return out.reshape(B, nch * CHUNK)[:, :nch_orig * CHUNK]
 
 
+def _grouping_kernel_quad(qtl_smem, seg_smem, luts_ref, t2_ref, qtiles_hbm,
+                          out_ref, scratch, sems):
+    """QUAD grouping step: the adc_scan quad pipeline (CPSQ tiles per step,
+    DEPTH_Q rolling DMA slots, batched waits) over GROUP-aligned quad tiles.
+
+    Tile rows 68..71 carry each chunk's per-position subcentroid ids
+    (storage.PostingListStore.quad_grouped); the quad LUT's rows 68..71 are
+    zero, so the main 18-group gather-sum yields the 3-term base and the
+    probe's term2 is added by ONE broadcast gather of its [256] table row
+    per quad tile — 4x fewer table touches than the chunk kernel's per-chunk
+    SUBC_ROW rewrite, with no scratch-table RAW hazard. +inf on pruned/empty
+    term2 lanes propagates through the add, preserving the masked-compute
+    semantics bit-for-bit."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    nq = nsteps * CPSQ
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(qtiles_hbm.at[t], scratch.at[slot],
+                                     sems.at[slot])
+
+    def start_for(gg):
+        bb = gg // nq
+        cc = jax.lax.rem(gg, nq)
+        tl = qtl_smem[bb, cc]
+
+        @pl.when(jax.lax.rem(tl, RTL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(gg, DEPTH_Q), tl // RTL_PACK).start()
+
+    g0 = b * nq + j * CPSQ
+
+    @pl.when(g0 == 0)
+    def _():
+        for w in range(DEPTH_Q - CPSQ):
+            @pl.when(w < nb * nq)
+            def _():
+                start_for(jnp.int32(w))
+
+    for i in range(CPSQ):
+        @pl.when(g0 + DEPTH_Q - CPSQ + i < nb * nq)
+        def _():
+            start_for(g0 + DEPTH_Q - CPSQ + i)
+
+    for i in range(CPSQ):
+        g = g0 + i
+        tl = qtl_smem[b, j * CPSQ + i]
+
+        @pl.when(jax.lax.rem(tl, RTL_PACK) > 0)
+        def _():
+            dma(jax.lax.rem(g, DEPTH_Q), tl // RTL_PACK).wait()
+
+    lut = luts_ref[0]                                      # [72, 256]
+    lut0, lut1 = lut[:, :128], lut[:, 128:]
+
+    def gather_half(tab0, tab1, idx_h):
+        idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
+        ga = jnp.take_along_axis(tab0, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        gb = jnp.take_along_axis(tab1, idxm, axis=1,
+                                 mode="promise_in_bounds")
+        return jnp.where(idx_h < 128, ga, gb)
+
+    for i in range(CPSQ):
+        g = g0 + i
+        c = j * CPSQ + i
+        tl = qtl_smem[b, c]
+        ln = jax.lax.rem(tl, RTL_PACK)
+
+        @pl.when(ln > 0)
+        def _():
+            idx = scratch[jax.lax.rem(g, DEPTH_Q)].astype(jnp.int32)
+            gg = jnp.concatenate(
+                [gather_half(lut0, lut1, idx[:, :128]),
+                 gather_half(lut0, lut1, idx[:, 128:])], axis=1)  # [72, 256]
+            base = jnp.sum(gg.reshape(18, 4, 256), axis=0)        # [4, 256]
+            # term2: the probe's [256] table row, gathered by the subc-id
+            # rows 68..71 (one row per chunk of this tile).
+            t2row = t2_ref[0, pl.ds(seg_smem[b, c], 1), :]        # [1, 256]
+            t2a = jnp.broadcast_to(t2row[:, :128], (4, 128))
+            t2b = jnp.broadcast_to(t2row[:, 128:], (4, 128))
+            sub = idx[68:72]                                      # [4, 256]
+            t2g = jnp.concatenate(
+                [gather_half(t2a, t2b, sub[:, :128]),
+                 gather_half(t2a, t2b, sub[:, 128:])], axis=1)    # [4, 256]
+            out_ref[0, i * 4:(i + 1) * 4, :] = base + t2g
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grouping_scan_quad(luts_quad, qtl, seg, term2_tab, qtiles,
+                       interpret: bool = False):
+    """Quad grouping scan. term2_tab [B, P, 256] f32 (+inf on pruned/empty
+    lanes); qtl/seg [B, nquad] (grouping_quad_metadata); qtiles
+    [NQT, 72, 256] u8. Returns dists [B, nquad*RCHUNK] (masked +inf)."""
+    B, nquad_orig = qtl.shape
+    nquad = nquad_orig
+    P = term2_tab.shape[1]
+    P_pad = -(-P // 8) * 8
+    if P_pad != P:
+        term2_tab = jnp.pad(term2_tab, ((0, 0), (0, P_pad - P), (0, 0)),
+                            constant_values=jnp.inf)
+    if nquad % CPSQ:
+        pad = CPSQ - nquad % CPSQ
+        qtl = jnp.pad(qtl, ((0, 0), (0, pad)))
+        seg = jnp.pad(seg, ((0, 0), (0, pad)))
+        nquad += pad
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nquad // CPSQ),
+        in_specs=[
+            pl.BlockSpec((1, QROWS, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, 256), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, CPSQ * 4, CHUNK),
+                               lambda b, j, *_: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH_Q, QROWS, CHUNK), jnp.uint8),
+            pltpu.SemaphoreType.DMA((DEPTH_Q,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _grouping_kernel_quad,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nquad * 4, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qtl, seg, luts_quad, term2_tab, qtiles)
+    # Quad-slot lengths -> chunk-granular tail mask (see adc_scan_quad).
+    qlen = jax.lax.rem(qtl, RTL_PACK)
+    rr = jnp.arange(4, dtype=jnp.int32)
+    chunk_len = jnp.clip(qlen[:, :, None] - rr[None, None, :] * CHUNK,
+                         0, CHUNK).reshape(B, nquad * 4)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    out = jnp.where(lane[None, None, :] < chunk_len[:, :, None],
+                    out, jnp.inf)
+    return out.reshape(B, nquad * 4 * CHUNK)[:, :nquad_orig * RCHUNK]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "nsubc", "coarse_block",
                      "use_opq", "do_pruning", "interpret", "precision",
-                     "coarse_approx", "coarse_recall"))
+                     "coarse_approx", "coarse_recall", "layout"))
 def grouping_pallas_search_many(queries, *args, nprobe, k, nch, nsubc,
                                 coarse_block, use_opq, do_pruning,
                                 interpret=False, precision=HIGHEST,
-                                coarse_approx=False, coarse_recall=0.95):
+                                coarse_approx=False, coarse_recall=0.95,
+                                layout="chunk"):
     """Whole query set [G, B, d] in one launch (lax.map over sub-batches;
     see adc_scan.pallas_search_many for why)."""
     def one(q):
@@ -235,7 +400,8 @@ def grouping_pallas_search_many(queries, *args, nprobe, k, nch, nsubc,
             q, *args, nprobe=nprobe, k=k, nch=nch, nsubc=nsubc,
             coarse_block=coarse_block, use_opq=use_opq,
             do_pruning=do_pruning, interpret=interpret, precision=precision,
-            coarse_approx=coarse_approx, coarse_recall=coarse_recall)
+            coarse_approx=coarse_approx, coarse_recall=coarse_recall,
+            layout=layout)
 
     return jax.lax.map(one, queries)
 
@@ -244,16 +410,18 @@ def grouping_pallas_search_many(queries, *args, nprobe, k, nch, nsubc,
     jax.jit,
     static_argnames=("nprobe", "k", "nch", "nsubc", "coarse_block",
                      "use_opq", "do_pruning", "interpret", "precision",
-                     "coarse_approx", "coarse_recall"))
+                     "coarse_approx", "coarse_recall", "layout"))
 def grouping_pallas_search_core(
         queries, centroids, centroid_norms, codebooks, norm_centroids, R,
         tiles, ids_aligned, tile_offsets, nn_idxs, alphas, inter_dists,
         sub_sizes, max_codes, *, nprobe: int, k: int, nch: int, nsubc: int,
         coarse_block: int, use_opq: bool, do_pruning: bool,
         interpret: bool = False, precision=HIGHEST,
-        coarse_approx: bool = False, coarse_recall: float = 0.95):
+        coarse_approx: bool = False, coarse_recall: float = 0.95,
+        layout: str = "chunk"):
     """Fused grouping search. sub_sizes [nc, nsubc] i32 subgroup sizes;
-    tile_offsets [nc+1] group tile starts."""
+    tile_offsets [nc+1] group tile starts (layout='chunk': 256-granular
+    tiles; layout='quad': 1024-granular quad tiles, nch counts QUAD slots)."""
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
     B = queries.shape[0]
 
@@ -322,13 +490,31 @@ def grouping_pallas_search_core(
 
     eff_sizes = jnp.sum(jnp.where(scan_slot, ssz, 0), axis=2)  # [B, P]
     scan_sizes = jnp.sum(ssz, axis=2)                          # [B, P]
-    tl, bias, seg = grouping_chunk_metadata(
-        probes, term1, eff_sizes, scan_sizes, tile_offsets, max_codes, nch)
 
     q_rot = queries @ R.T if use_opq else queries
     luts_ext = build_luts_ext(q_rot, codebooks, norm_centroids,
                               precision=precision)
 
+    if layout == "quad":
+        qtl, bias, seg = grouping_quad_metadata(
+            probes, term1, eff_sizes, scan_sizes, tile_offsets, max_codes,
+            nch)
+        dists = grouping_scan_quad(build_luts_quad(luts_ext), qtl, seg,
+                                   t2_tab, tiles, interpret=interpret)
+        bias4 = jnp.broadcast_to(bias[:, :, None],
+                                 (B, nch, 4)).reshape(B, nch * 4)
+        dists = (dists.reshape(B, nch * 4, CHUNK)
+                 + bias4[:, :, None]).reshape(B, nch * RCHUNK)
+        best, sel = binned_topk_smallest(dists, k, bin_size=32)
+        quad_of = sel // RCHUNK
+        within = sel % RCHUNK
+        qtile_sel = jnp.take_along_axis((qtl // RTL_PACK), quad_of, axis=1)
+        labels = ids_aligned[qtile_sel * RCHUNK + within]
+        labels = jnp.where(jnp.isfinite(best), labels, -1)
+        return best, labels
+
+    tl, bias, seg = grouping_chunk_metadata(
+        probes, term1, eff_sizes, scan_sizes, tile_offsets, max_codes, nch)
     dists = grouping_scan_tiles(luts_ext, tl, seg, t2_tab, tiles,
                                 interpret=interpret)
     dists = (dists.reshape(B, nch, CHUNK)

@@ -79,6 +79,72 @@ def test_grouped_tile_layout(built):
                                   expected_subc)
 
 
+def test_quad_grouped_tile_layout(built):
+    """quad_grouped: groups 1024-aligned, code rows interleaved 4m+c, rows
+    64..67 norm codes, rows 68..71 per-chunk subcentroid ids."""
+    idx, _ = built
+    store = idx.store
+    quad = store.quad_grouped(idx.nsubc)
+    tiled = store.tiled_grouped(idx.nsubc)
+    np.testing.assert_array_equal(np.asarray(quad.list_sizes),
+                                  np.asarray(tiled.list_sizes))
+    off = np.asarray(store.list_offsets)
+    sub_sizes = (off[1:] - off[:-1]).reshape(idx.nc, idx.nsubc)
+    gsizes = sub_sizes.sum(1)
+    g = int(np.argmax(gsizes > 0))
+    q0 = int(np.asarray(quad.tile_offsets)[g])
+    qt = np.asarray(quad.tiles)
+    n0 = min(int(gsizes[g]), 16)
+    expected_subc = np.repeat(np.arange(idx.nsubc), sub_sizes[g])[:n0]
+    np.testing.assert_array_equal(qt[q0, 68, :n0], expected_subc)
+    # Code rows interleave 4m+c: chunk 0's subquantizer-0 codes sit in row 0.
+    t0 = int(np.asarray(tiled.tile_offsets)[g])
+    ct = np.asarray(tiled.tiles)
+    np.testing.assert_array_equal(qt[q0, 0, :n0], ct[t0, 0, :n0])
+    np.testing.assert_array_equal(qt[q0, 64, :n0], ct[t0, 16, :n0])
+
+
+def test_grouping_pallas_quad_matches_xla(built):
+    """The QUAD grouping kernel (interpret) must match the XLA engine under
+    every budget mode, like the chunk kernel above."""
+    idx, queries = built
+    idx.scan_layout = "quad"
+    try:
+        for p in (SearchParams(k=10, nprobe=6, max_codes=0),
+                  SearchParams(k=10, nprobe=8, max_codes=600,
+                               do_pruning=True),
+                  SearchParams(k=10, nprobe=8, max_codes=400),
+                  SearchParams(k=10, nprobe=12, max_codes=100,
+                               do_pruning=True)):
+            assert_same(*both(idx, queries, p))
+    finally:
+        idx.scan_layout = "auto"
+
+
+def test_grouping_quad_profiled_scan_budget(built):
+    """Profiled budgets under the quad layout cap in RCHUNK units (the
+    index's scan_unit) without changing results."""
+    idx, queries = built
+    idx.scan_layout = "quad"
+    try:
+        base_p = SearchParams(k=5, nprobe=8, max_codes=600, do_pruning=True)
+        dem = idx.scan_slot_demand(queries, base_p)
+        assert dem.min() > 0
+        capped = SearchParams(k=5, nprobe=8, max_codes=600, do_pruning=True,
+                              scan_budget=int(dem.max()) * idx.scan_unit())
+        idx.engine = "pallas_interpret"
+        try:
+            d1, l1 = idx.search(queries, base_p)
+            d2, l2 = idx.search(queries, capped)
+        finally:
+            idx.engine = "auto"
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+    finally:
+        idx.scan_layout = "auto"
+
+
 def test_grouping_pallas_opq():
     rng = np.random.RandomState(31)
     nb, d = 6000, 32

@@ -7,7 +7,8 @@ experimental and the runner stops at the first wedge instead of burning the
 device repeatedly.
 
 Usage: python tools/tpu_validate.py [stage ...]
-Stages: health pallas grouping batch bench   (default: all, in that order)
+Stages: health pallas grouping grouping_quad canonical bench
+(default: health pallas grouping grouping_quad bench, in that order)
 """
 
 from __future__ import annotations
@@ -61,6 +62,29 @@ for prune in (False, True):
     print(f"grouping kernel OK (pruning={prune})")
 """
 
+GROUPING_QUAD = """
+import numpy as np, jax
+from ivfhnsw_tpu import IVFADCGroupingIndex, IndexConfig, SearchParams
+rng = np.random.RandomState(3)
+nb, d = 40000, 32
+centers = rng.randn(50, d).astype(np.float32) * 5
+base = centers[rng.randint(0, 50, nb)] + rng.randn(nb, d).astype(np.float32)
+queries = centers[rng.randint(0, 50, 64)] + rng.randn(64, d).astype(np.float32)
+idx = IVFADCGroupingIndex(IndexConfig(d=d, nc=64, code_size=8, nsubc=16))
+key = jax.random.PRNGKey(0)
+idx.train_centroids(key, base[:6000], niter=8)
+idx.compute_neighbor_centroids()
+idx.train_pq(key, base[:4000])
+idx.add(base); idx.finalize()
+idx.scan_layout = "quad"
+for prune in (False, True):
+    p = SearchParams(k=10, nprobe=8, max_codes=2000, do_pruning=prune)
+    idx.engine = "xla"; d1, l1 = idx.search(queries, p)
+    idx.engine = "pallas"; d2, l2 = idx.search(queries, p)
+    assert np.allclose(d1, d2, rtol=1e-4, atol=1e-2), f"grouping QUAD mismatch prune={prune}"
+    print(f"grouping QUAD kernel OK (pruning={prune})")
+"""
+
 
 CANONICAL = """
 # Canonical reference geometry (examples/run_sift1b_grouping_OPQ.sh:39-48):
@@ -109,6 +133,7 @@ STAGES = {
     "health": (HEALTH, 180),  # device-claim handover alone can take ~60s
     "pallas": (PALLAS_SMALL, 420),
     "grouping": (GROUPING, 420),
+    "grouping_quad": (GROUPING_QUAD, 420),
     "canonical": (CANONICAL, 900),
 }
 
@@ -155,8 +180,8 @@ def run_stage(name: str) -> bool:
 
 
 def main():
-    stages = sys.argv[1:] or ["health", "pallas", "grouping", "batch",
-                              "bench"]
+    stages = sys.argv[1:] or ["health", "pallas", "grouping",
+                              "grouping_quad", "bench"]
     t0 = time.time()
     for s in stages:
         if not run_stage(s):
