@@ -493,6 +493,19 @@ class IVFADCGroupingIndex(IVFADCIndex):
             out[off:off + batch] = tc.sum(axis=1)
         return out
 
+    def _smem_batch_cap(self, nch_slots: int, layout: str) -> int:
+        """Largest per-launch query sub-batch whose scalar-prefetch arrays
+        fit SMEM: TWO i32 arrays (packed tile/len + seg) = 8 B per
+        STEP-PADDED slot per query (the kernel pads nch to a CPS/CPSQ
+        multiple; a 1024-query x 122->128-slot launch measured the two
+        operands at 512 KB each = 1.00 M of 1.00 M SMEM). Budget 896 KB,
+        leaving headroom for register spill slots and grid bookkeeping."""
+        from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
+        step = gs.CPSQ if layout == "quad" else gs.CPS
+        padded = -(-max(nch_slots, 1) // step) * step
+        cap = (896 << 10) // (8 * padded)
+        return max(8, min(512, cap // 8 * 8))
+
     def _grouping_pallas_setup(self, params: SearchParams, nprobe: int):
         from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
         store = self._ensure_store()
@@ -575,14 +588,8 @@ class IVFADCGroupingIndex(IVFADCIndex):
         if engine == "xla":
             L = self._scan_budget(params)
         else:
-            # Two scalar-prefetch arrays (packed tile/len + seg) live in 1MB
-            # SMEM: batch x nch x 8B must fit with headroom (nch can grow
-            # large under pruning, where every probe's full group span must
-            # be provisioned).
             args, kw = self._grouping_pallas_setup(params, nprobe)
-            cap = max(8, min(512, (512 << 10) // (8 * max(kw["nch"], 1))
-                             // 8 * 8))
-            batch = min(batch, cap)
+            batch = min(batch, self._smem_batch_cap(kw["nch"], kw["layout"]))
         # Mega-batch fast path: whole query set in one launch.
         if engine == "pallas" and nq >= 2 * batch:
             from ivfhnsw_tpu.ops.pallas import grouping_scan as gs
@@ -652,8 +659,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
         args, kw = self._grouping_pallas_setup(params, nprobe)
         kw = dict(kw, interpret=interpret)
         if queries_dev.ndim == 2:
-            cap = max(8, min(512, (512 << 10) // (8 * max(kw["nch"], 1))
-                             // 8 * 8))
+            cap = self._smem_batch_cap(kw["nch"], kw["layout"])
             B = 1 << (cap.bit_length() - 1)  # power of 2 so halving divides
             n = queries_dev.shape[0]
             while n % B:

@@ -54,6 +54,13 @@ def _grouping_schedule(probes, term1, eff_sizes, scan_sizes, tile_offsets,
         [jnp.zeros((B, 1), jnp.int32),
          jnp.cumsum(eff_sizes, axis=1)[:, :-1]], axis=1)
     included = jnp.logical_or(max_codes <= 0, cum_before < max_codes)
+    # FULLY-pruned (or empty) groups contribute only masked +inf lanes and
+    # zero budget — skip their whole window at schedule time. Far probes
+    # often have every subgroup above the pruning threshold, so this cuts
+    # real scan traffic with bit-identical results (flagship point,
+    # tools/grouping_lab.py layout, v5e: quad 23.8 -> 17.6 us/q sustained,
+    # chunk 31.4 -> 21.4).
+    included = jnp.logical_and(included, eff_sizes > 0)
     tcnt = jnp.where(included, (scan_sizes + gran - 1) // gran, 0)
     bounds = jnp.cumsum(tcnt, axis=1)
     starts = jnp.concatenate(
@@ -239,17 +246,20 @@ def grouping_scan_tiles(luts_ext, tl, seg, term2_tab, tiles,
 
 
 def _grouping_kernel_quad(qtl_smem, seg_smem, luts_ref, t2_ref, qtiles_hbm,
-                          out_ref, scratch, sems):
+                          out_ref, scratch, tab_scratch, sems):
     """QUAD grouping step: the adc_scan quad pipeline (CPSQ tiles per step,
     DEPTH_Q rolling DMA slots, batched waits) over GROUP-aligned quad tiles.
 
     Tile rows 68..71 carry each chunk's per-position subcentroid ids
-    (storage.PostingListStore.quad_grouped); the quad LUT's rows 68..71 are
-    zero, so the main 18-group gather-sum yields the 3-term base and the
-    probe's term2 is added by ONE broadcast gather of its [256] table row
-    per quad tile — 4x fewer table touches than the chunk kernel's per-chunk
-    SUBC_ROW rewrite, with no scratch-table RAW hazard. +inf on pruned/empty
-    term2 lanes propagates through the add, preserving the masked-compute
+    (storage.PostingListStore.quad_grouped). The query's quad LUT is copied
+    once into tab_scratch, whose rows 68..71 are overwritten per quad tile
+    with the probe's term2 row (same store-then-gather pattern as the chunk
+    kernel's SUBC_ROW rewrite — an in-register broadcast of the dynamic
+    t2_ref slice is not a layout Mosaic accepts). One 18-group gather-sum
+    then yields all four chunk rows with term2 folded in: the same number
+    of (1, 256) table stores per code as the chunk kernel, but 4x fewer
+    DMA descriptors and 18 vs 24 fetched B/code. +inf on pruned/empty term2
+    lanes propagates through the sum, preserving the masked-compute
     semantics bit-for-bit."""
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -292,8 +302,9 @@ def _grouping_kernel_quad(qtl_smem, seg_smem, luts_ref, t2_ref, qtiles_hbm,
         def _():
             dma(jax.lax.rem(g, DEPTH_Q), tl // RTL_PACK).wait()
 
-    lut = luts_ref[0]                                      # [72, 256]
-    lut0, lut1 = lut[:, :128], lut[:, 128:]
+    @pl.when(j == 0)
+    def _():
+        tab_scratch[:] = luts_ref[0]                       # [72, 256]
 
     def gather_half(tab0, tab1, idx_h):
         idxm = jnp.where(idx_h < 128, idx_h, idx_h - 128)
@@ -312,20 +323,20 @@ def _grouping_kernel_quad(qtl_smem, seg_smem, luts_ref, t2_ref, qtiles_hbm,
         @pl.when(ln > 0)
         def _():
             idx = scratch[jax.lax.rem(g, DEPTH_Q)].astype(jnp.int32)
-            gg = jnp.concatenate(
-                [gather_half(lut0, lut1, idx[:, :128]),
-                 gather_half(lut0, lut1, idx[:, 128:])], axis=1)  # [72, 256]
-            base = jnp.sum(gg.reshape(18, 4, 256), axis=0)        # [4, 256]
-            # term2: the probe's [256] table row, gathered by the subc-id
-            # rows 68..71 (one row per chunk of this tile).
+            # Rows 68..71 <- the probe's term2 row (one per chunk of this
+            # tile: all four chunks share the tile's group, hence probe).
             t2row = t2_ref[0, pl.ds(seg_smem[b, c], 1), :]        # [1, 256]
-            t2a = jnp.broadcast_to(t2row[:, :128], (4, 128))
-            t2b = jnp.broadcast_to(t2row[:, 128:], (4, 128))
-            sub = idx[68:72]                                      # [4, 256]
-            t2g = jnp.concatenate(
-                [gather_half(t2a, t2b, sub[:, :128]),
-                 gather_half(t2a, t2b, sub[:, 128:])], axis=1)    # [4, 256]
-            out_ref[0, i * 4:(i + 1) * 4, :] = base + t2g
+            for r in range(4):
+                tab_scratch[68 + r:69 + r, :] = t2row
+            tab = tab_scratch[:]
+            gg = jnp.concatenate(
+                [gather_half(tab[:, :128], tab[:, 128:], idx[:, :128]),
+                 gather_half(tab[:, :128], tab[:, 128:], idx[:, 128:])],
+                axis=1)                                           # [72, 256]
+            # 18-group sublane-strided sum -> all four chunk rows; group 17
+            # contributes term2[subc[lane]] per chunk.
+            out_ref[0, i * 4:(i + 1) * 4, :] = jnp.sum(
+                gg.reshape(18, 4, 256), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -361,6 +372,7 @@ def grouping_scan_quad(luts_quad, qtl, seg, term2_tab, qtiles,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((DEPTH_Q, QROWS, CHUNK), jnp.uint8),
+            pltpu.VMEM((QROWS, 256), jnp.float32),
             pltpu.SemaphoreType.DMA((DEPTH_Q,)),
         ],
     )

@@ -131,13 +131,13 @@ class SiftLikeDeviceGen:
         self.sigma = float(sigma)
         # Class-popularity skew: cls = floor(ncls * u^skew), u~U(0,1).
         # skew=1 is uniform; skew>1 concentrates mass on low class ids
-        # (density ~ c^(1/skew - 1), Zipf-like). Real SIFT is full of
-        # near-duplicate patches — popular classes supply the
-        # near-duplicate competition that sets the exact-ADC ceiling,
-        # while the tail keeps residual diversity high; a UNIFORM class
-        # distribution cannot do both at canonical geometry (measured:
-        # ceiling@1 0.96-0.97 across n_classes 2^18-2^21 at nb=8M,
-        # nc=2^16 — tools/siftlike_scale_calibrate.py, 2026-08-19).
+        # (density ~ c^(1/skew - 1), Zipf-like), mimicking real SIFT's
+        # bursty near-duplicate patches. MEASURED INSENSITIVE to the
+        # exact-ADC ceiling at canonical density (skew 3/5 -> ceiling@1
+        # 0.98/0.97, same as uniform's 0.96-0.98 across n_classes
+        # 2^18-2^21 at nb=8M nc=2^16; the ceiling is set by nb/nc, see
+        # tools/siftlike_scale_calibrate.py, 2026-08-19). Kept as a
+        # distribution-realism knob, default uniform.
         self.skew = float(skew)
         kd, kw, kc = jr.split(jr.PRNGKey(seed), 3)
         dom = jr.randint(kd, (self.n_classes, 1), 0, BINS)

@@ -52,6 +52,10 @@ def main():
     print(f"backend: {jax.default_backend()}", flush=True)
     key = jax.random.PRNGKey(0)
     gidx = bench.build_grouping(key)
+    # The component split below unpacks CHUNK-layout internals
+    # (grouping_chunk_metadata / grouping_scan_tiles); force it unless
+    # overridden — the quad-vs-chunk decision lives in layout_compare().
+    gidx.scan_layout = os.environ.get("GLAB_LAYOUT", "chunk")
     queries = np.load(os.path.join(bench.CACHE, "queries.npy"))
     gp = SearchParams(k=10, nprobe=32, max_codes=10_000, do_pruning=True)
     g_dem = int(gidx.scan_slot_demand(queries[:2048], gp).max())
@@ -59,7 +63,7 @@ def main():
                       scan_budget=g_dem * 256)
     args, kw = gidx._grouping_pallas_setup(gp, 32)
     nch = kw["nch"]
-    cap = max(8, min(512, (512 << 10) // (8 * nch) // 8 * 8))
+    cap = gidx._smem_batch_cap(nch, kw["layout"])
     B = 1 << (cap.bit_length() - 1)
     print(f"nch={nch} B(sub-batch)={B}", flush=True)
 
@@ -245,5 +249,62 @@ def main():
         print(f"sustained depth={depth}: {us:.2f} us/q", flush=True)
 
 
+def layout_compare():
+    """Chunk vs QUAD grouping layout on the cached 2M flagship index:
+    agreement check + single-launch and sustained timings per layout
+    (the quad-vs-chunk adoption decision for GroupingIndex
+    _resolve_layout's crossover)."""
+    print(f"backend: {jax.default_backend()}", flush=True)
+    key = jax.random.PRNGKey(0)
+    gidx = bench.build_grouping(key)
+    queries = np.load(os.path.join(bench.CACHE, "queries.npy"))
+    results = {}
+    for layout in ("chunk", "quad"):
+        gidx.scan_layout = layout
+        gidx.store.release_device()   # drop the other layout's HBM tiles
+        gp0 = SearchParams(k=10, nprobe=32, max_codes=10_000,
+                           do_pruning=True)
+        dem = int(gidx.scan_slot_demand(queries[:2048], gp0).max())
+        gran = gidx.scan_unit()
+        gp = SearchParams(k=10, nprobe=32, max_codes=10_000,
+                          do_pruning=True, scan_budget=dem * gran)
+        print(f"[{layout}] slots={dem} unit={gran}", flush=True)
+        d_, l_ = gidx.search(queries, gp)      # compile + warm + labels
+        results[layout] = (np.asarray(d_), np.asarray(l_))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            jax.block_until_ready(
+                gidx.search_device(jnp.asarray(queries), gp))
+        sl_us = (time.perf_counter() - t0) / 3 / queries.shape[0] * 1e6
+        # Sub-batch at the SMEM cap (a hardcoded 1024 overflowed SMEM at
+        # nch=128 padded: 2 prefetch arrays x 1024 x 128 x 4B = 1.00 MB).
+        args_, kw_ = gidx._grouping_pallas_setup(gp, 32)
+        cb = gidx._smem_batch_cap(kw_["nch"], kw_["layout"])
+        B_ = 1 << (cb.bit_length() - 1)
+        while queries.shape[0] % B_:
+            B_ //= 2
+        qdev = jnp.asarray(queries.reshape(-1, B_, 128))
+        for _ in range(2):
+            jax.block_until_ready(gidx.search_device(qdev, gp))
+        t0 = time.perf_counter()
+        n = 3
+        for _ in range(n):
+            outs = [gidx.search_device(qdev, gp) for _ in range(8)]
+            for o in outs:
+                jax.block_until_ready(o)
+        sus_us = (time.perf_counter() - t0) / n / 8 / queries.shape[0] * 1e6
+        print(f"[{layout}] single-launch {sl_us:.2f} us/q, "
+              f"sustained x8 {sus_us:.2f} us/q", flush=True)
+    dc, lc = results["chunk"]
+    dq, lq = results["quad"]
+    dist_ok = np.allclose(dc, dq, rtol=1e-4, atol=1e-2)
+    lbl = float((lc == lq).mean())
+    print(f"layouts agree: dists={dist_ok} labels={lbl:.4f}", flush=True)
+    gidx.scan_layout = "auto"
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "layout":
+        layout_compare()
+    else:
+        main()

@@ -7,14 +7,18 @@ stage's sigma=0.75 overshot to 0.48, and ceilings compress with corpus
 density, so the knob must be re-picked at the target density ratios.
 
 Probe geometry holds the density ratios of the full stage constant at
-1/16 scale: nb=8M, nc=2^16; the sweep is over (sigma, n_classes).
-FIRST PROBE FINDING (2026-08-19): at 4 classes/centroid (n_classes=2^18)
-the ceiling@1 is 0.96 — each centroid covers ~one class, so residuals
-are pure intra-class jitter and 16-byte PQ nails them. The knob that
-moves the ceiling into the paper band is CLASSES PER CENTROID (residual
-diversity), not sigma: the 2M siftlike stage's near-band 0.48 came from
-16 classes/centroid. The winning (sigma, n_classes/nc ratio) feeds
-bench.py's scale3sl stage.
+1/16 scale: nb=8M, nc=2^16; the sweep is over (sigma, n_classes, skew).
+
+CONCLUSION (2026-08-19, full sweep): every generator knob is INSENSITIVE
+at 128 codes/list — n_classes 2^18/2^20/2^21 -> ceiling@1
+0.96/0.97/0.98; Zipf skew 3/5 -> 0.98/0.97; sigma 0.75/1.1/1.4 ->
+0.97/0.96/0.95. The ceiling is set by nb/nc (the coarse residual
+magnitude 16-byte PQ must encode): the same generator family measures
+~0.48-0.50 at 256-488 codes/list (tools/siftlike_calibrate.py, the 2M
+siftlike stage) and ~0.96 at 128/list. The paper's R@1 0.3-0.45 band is
+therefore a 1B-density phenomenon (954 codes/list at nc=2^20), not a
+descriptor-statistics one; scale3sl keeps SIFT-faithful defaults and
+scale4 (256/list) measures the next density point toward the band.
 
 Usage: python tools/siftlike_scale_calibrate.py [sigma:n_classes:skew ...]
 """

@@ -130,7 +130,8 @@ print(f"canonical nc=2^20 nprobe=210 mc=100k OK: label agreement "
 """
 
 STAGES = {
-    "health": (HEALTH, 180),  # device-claim handover alone can take ~60s
+    "health": (HEALTH, 300),  # device-claim handover right after another
+                              # process exits has exceeded 180s (r4)
     "pallas": (PALLAS_SMALL, 420),
     "grouping": (GROUPING, 420),
     "grouping_quad": (GROUPING_QUAD, 420),
