@@ -161,6 +161,15 @@ def test_grouping_pallas_opq():
     assert_same(*both(idx, queries,
                       SearchParams(k=10, nprobe=8, max_codes=500,
                                    do_pruning=True)))
+    # Same index through the QUAD layout (the flagship bench resolves to
+    # quad; OPQ exercises the rotated-LUT path there too).
+    idx.scan_layout = "quad"
+    try:
+        assert_same(*both(idx, queries,
+                          SearchParams(k=10, nprobe=8, max_codes=500,
+                                       do_pruning=True)))
+    finally:
+        idx.scan_layout = "auto"
 
 
 def test_grouping_pallas_aggressive_pruning(built):
