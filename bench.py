@@ -1897,7 +1897,8 @@ def main():
         gp = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
                           do_pruning=True, scan_budget=g_dem * g_gran)
         log("grouping: warmup + timed runs (device-resident) ...")
-        g_qps, gl, g_sl_us = timed_qps(gidx, queries, gp, reshape=None)
+        g_qps, gl, g_sl_us = timed_qps(gidx, queries, gp, reshape=None,
+                                       depth=8)
         grec = recall_at_k(gl, gt, ks=(1, 10))
         gp100 = SearchParams(k=100, nprobe=NPROBE, max_codes=MAX_CODES,
                              do_pruning=True, scan_budget=g_dem * g_gran)
@@ -1909,7 +1910,7 @@ def main():
             "grouping_qps": round(g_qps, 1),
             "grouping_us_per_query": round(1e6 / g_qps, 2),
             "grouping_us_per_query_single_launch": round(g_sl_us, 2),
-            "grouping_pipeline_depth": 4,
+            "grouping_pipeline_depth": 8,
             "grouping_recall_at_1": round(grec[1], 4),
             "grouping_recall_at_10": round(grec[10], 4),
             "grouping_recall_at_100": round(gr100[100], 4),
