@@ -171,9 +171,28 @@ def main():
         print(f"grouping full B{B}: {ms_g:.2f} ms ({ms_g*1e3/B:.2f} us/q)")
 
 
-def main_scale2():
-    """Component breakdown at the scale2 geometry (134M codes, nc=2^17,
-    nprobe=128, max_codes=100k) using the cached scale2 index."""
+# Stage registry for the big-geometry decompositions: where the cached
+# index/quantizer/query artifacts live (written by the matching bench.py
+# build_* stage) and the stage's centroid count. scale4 shares scale3sl's
+# centroids/quantizers/queries by construction (bench.build_scale4).
+STAGES = {
+    "scale2": dict(idx_dir="scale2", idx_prefix="scale2",
+                   aux_dir="scale2", aux_prefix="scale2", nc=131072),
+    "scale3": dict(idx_dir="scale3", idx_prefix="scale3",
+                   aux_dir="scale3", aux_prefix="scale3", nc=1048576),
+    "scale3sl": dict(idx_dir="scale3sl", idx_prefix="sl",
+                     aux_dir="scale3sl", aux_prefix="sl", nc=1048576),
+    "scale4": dict(idx_dir="scale4", idx_prefix="s4",
+                   aux_dir="scale3sl", aux_prefix="sl", nc=1048576),
+}
+
+
+def main_stage(stage: str):
+    """Component breakdown at a cached big-geometry bench stage (the
+    reference's canonical operating point: nprobe=128, max_codes=100k) —
+    times the SAME resolved configuration the bench serves (layout,
+    coarse mode, profiled scan budget), so optimization work targets the
+    measured bottleneck of the real path, not a proxy."""
     import jax
     import jax.numpy as jnp
     from ivfhnsw_tpu import IVFADCIndex, IndexConfig, SearchParams
@@ -181,36 +200,50 @@ def main_scale2():
     from ivfhnsw_tpu.ops.distances import streaming_topk_l2
     from ivfhnsw_tpu.ops.topk import topk_smallest
 
-    sdir = os.path.join(CACHE, "scale2")
-    D, NC, NPROBE, MAX_CODES, K = 128, 131072, 128, 100_000, 10
+    scfg = STAGES[stage]
+    sdir = os.path.join(CACHE, scfg["idx_dir"])
+    adir = os.path.join(CACHE, scfg["aux_dir"])
+    ap = scfg["aux_prefix"]
+    D, NC, NPROBE, MAX_CODES, K = 128, scfg["nc"], 128, 100_000, 10
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     idx = IVFADCIndex(IndexConfig(d=D, nc=NC, code_size=16))
-    idx.set_centroids(np.load(os.path.join(sdir, "centroids.npy")))
-    idx.load_quantizers(os.path.join(sdir, "scale2.pq"),
-                        os.path.join(sdir, "scale2.norm_pq"))
-    idx.read(os.path.join(sdir, "scale2.index"))
+    idx.set_centroids(np.load(os.path.join(adir, "centroids.npy")))
+    idx.load_quantizers(os.path.join(adir, f"{ap}.pq"),
+                        os.path.join(adir, f"{ap}.norm_pq"))
+    idx.read(os.path.join(sdir, f"{scfg['idx_prefix']}.index"))
     params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES)
 
+    queries_all = np.load(os.path.join(adir, "queries.npy"))
+    # The bench's profiled scan budget (scan_slot_demand docstring):
+    # identical slot allocation to the serving config.
+    dem = int(idx.scan_slot_demand(queries_all, params).max())
+    params = SearchParams(k=K, nprobe=NPROBE, max_codes=MAX_CODES,
+                          scan_budget=dem * idx.scan_unit())
     nch = idx._pallas_nch(params, NPROBE)
-    B = idx._pallas_batch_cap(nch)
-    B = 1 << (B.bit_length() - 1)
-    queries = np.load(os.path.join(sdir, "queries.npy"))[:B]
-    q = jnp.asarray(queries)
+    bcap = idx._pallas_batch_cap(nch)
+    B = min(1 << (bcap.bit_length() - 1), queries_all.shape[0])
+    q = jnp.asarray(queries_all[:B])
+
+    layout = idx._resolve_layout()
+    two_phase = idx._resolve_two_phase(params, NPROBE)
     args = idx._pallas_args()
     (centroids, centroid_norms, codebooks, norm_centroids, R,
      tiles, ids_aligned, tile_offsets, list_sizes) = args
     mc = jnp.int32(MAX_CODES)
     cblock = idx._coarse_block_for(B)
     approx = idx._coarse_approx(params)
-    print(f"nch={nch} B={B} ntiles={tiles.shape[0]} "
+    gran = idx.scan_unit()
+    print(f"{stage}: layout={layout} two_phase={two_phase} nch={nch} "
+          f"(profiled demand {dem}) B={B} ntiles={tiles.shape[0]} "
           f"coarse_block={cblock} approx={approx}", file=sys.stderr)
 
     @jax.jit
     def full(q):
         return pk.pallas_search_core(
             q, *args, mc, nprobe=NPROBE, k=K, nch=nch,
-            coarse_block=cblock, use_opq=False, coarse_approx=approx)
+            coarse_block=cblock, use_opq=False, coarse_approx=approx,
+            layout=layout, two_phase=two_phase)
     ms = marginal_ms(full, q, repeat=3)
     print(f"full_core_B{B}: {ms:.2f} ms  ({ms*1e3/B:.2f} us/q)")
 
@@ -223,27 +256,37 @@ def main_scale2():
     ms_c = marginal_ms(coarse, q, repeat=3)
     print(f"coarse only: {ms_c:.2f} ms ({ms_c*1e3/B:.2f} us/q)")
 
+    meta_fn = pk.quad_metadata if layout == "quad" else pk.chunk_metadata
+
     @jax.jit
     def pre(q):
         qc, probes = coarse(q)
         luts = pk.build_luts_ext(q, codebooks, norm_centroids,
                                  precision=jax.lax.Precision.HIGHEST)
-        ct, cl, cb = pk.chunk_metadata(probes, qc, centroid_norms,
-                                       tile_offsets, list_sizes, mc, nch)
-        return luts, ct, cl, cb
+        st, sl, sb = meta_fn(probes, qc, centroid_norms,
+                             tile_offsets, list_sizes, mc, nch)
+        return luts, st, sl, sb
     ms_pre = marginal_ms(pre, q, repeat=3)
-    luts, ct, cl, cb = jax.block_until_ready(pre(q))
-    print(f"pre(coarse+lut+meta): {ms_pre:.2f} ms ({ms_pre*1e3/B:.2f} us/q)")
-    real_chunks = float(np.asarray((cl > 0).sum(axis=1)).mean())
-    print(f"mean real chunks/query: {real_chunks:.1f} of {nch}")
+    luts, st, sl, sb = jax.block_until_ready(pre(q))
+    print(f"pre(coarse+lut+meta): {ms_pre:.2f} ms ({ms_pre*1e3/B:.2f} us/q;"
+          f" meta+lut alone {max(ms_pre-ms_c, 0)*1e3/B:.2f} us/q)")
+    real_units = float(np.asarray((sl > 0).sum(axis=1)).mean())
+    print(f"mean real {gran}-code slots/query: {real_units:.1f} of {nch}")
 
-    @jax.jit
-    def kern(luts, ct, cl, cb):
-        return pk.adc_scan_tiles(luts, ct, cl, cb, tiles)
-    ms_k = marginal_ms(kern, luts, ct, cl, cb, repeat=3)
-    dists = jax.block_until_ready(kern(luts, ct, cl, cb))
+    if layout == "quad":
+        @jax.jit
+        def kern(luts, st, sl, sb):
+            return pk.adc_scan_quad(pk.build_luts_quad(luts), st, sl, sb,
+                                    tiles)
+    else:
+        @jax.jit
+        def kern(luts, st, sl, sb):
+            return pk.adc_scan_tiles(luts, st, sl, sb, tiles)
+    ms_k = marginal_ms(kern, luts, st, sl, sb, repeat=3)
+    dists = jax.block_until_ready(kern(luts, st, sl, sb))
     print(f"scan kernel: {ms_k:.2f} ms ({ms_k*1e3/B:.2f} us/q; "
-          f"{ms_k*1e6/B/real_chunks:.0f} ns/real-chunk)")
+          f"{ms_k*1e6/B/real_units:.0f} ns/real-slot; lanes/q "
+          f"{dists.shape[1]})")
 
     @jax.jit
     def tk(d):
@@ -251,10 +294,16 @@ def main_scale2():
     ms_t = marginal_ms(tk, dists, repeat=3)
     print(f"topk [{B},{dists.shape[1]}]: {ms_t:.2f} ms "
           f"({ms_t*1e3/B:.2f} us/q)")
+    acc = ms_c + (ms_pre - ms_c) + ms_k + ms_t
+    print(f"sum(components): {acc:.2f} ms ({acc*1e3/B:.2f} us/q) vs "
+          f"full {ms:.2f} ms — residual {(ms-acc)*1e3/B:.2f} us/q "
+          "(id gather + fusion delta)")
 
 
 if __name__ == "__main__":
-    if "--scale2" in sys.argv:
-        main_scale2()
+    if "--stage" in sys.argv:
+        main_stage(sys.argv[sys.argv.index("--stage") + 1])
+    elif "--scale2" in sys.argv:
+        main_stage("scale2")
     else:
         main()
