@@ -15,6 +15,7 @@ Wedge discipline: health-probe first; run stages under timeout externally.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -255,6 +256,63 @@ def main_stage(stage: str):
                                  approx=approx, recall_target=0.95)
     ms_c = marginal_ms(coarse, q, repeat=3)
     print(f"coarse only: {ms_c:.2f} ms ({ms_c*1e3/B:.2f} us/q)")
+
+    # Coarse REDUCTION A/B: approx_min_k (current) vs a binned-exact
+    # streaming sweep vs the matmul+block-min lower bound. The matmul is
+    # ~1 us/q — whatever the reduction costs above that is the coarse
+    # lever's headroom at this nc.
+    from ivfhnsw_tpu.ops.topk import binned_topk_smallest
+
+    def _coarse_binned(q, bin_size):
+        n = centroids.shape[0]
+        nblk = -(-n // cblock)
+        qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)
+        best_d = jnp.full((q.shape[0], NPROBE), jnp.inf, jnp.float32)
+        best_i = jnp.zeros((q.shape[0], NPROBE), jnp.int32)
+        for bi in range(nblk):
+            blk = jax.lax.dynamic_slice_in_dim(
+                centroids, bi * cblock, min(cblock, n - bi * cblock), 0)
+            sqn = jax.lax.dynamic_slice_in_dim(
+                centroid_norms, bi * cblock, blk.shape[0], 0)
+            ip = jax.lax.dot_general(
+                q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dist = qsq[:, None] - 2.0 * ip + sqn[None, :]
+            if dist.shape[1] % bin_size:
+                dist = jnp.pad(dist, ((0, 0), (0, -dist.shape[1] % bin_size)),
+                               constant_values=jnp.inf)
+            d_, i_ = binned_topk_smallest(dist, NPROBE, bin_size=bin_size)
+            i_ = i_ + bi * cblock
+            md = jnp.concatenate([best_d, d_], axis=1)
+            mi = jnp.concatenate([best_i, i_], axis=1)
+            best_d, sel = jax.lax.top_k(-md, NPROBE)
+            best_d = -best_d
+            best_i = jnp.take_along_axis(mi, sel, axis=1)
+        return best_d, best_i
+
+    for bs in (32, 128):
+        f = jax.jit(functools.partial(_coarse_binned, bin_size=bs))
+        ms_b = marginal_ms(f, q, repeat=3)
+        d_b, i_b = jax.block_until_ready(f(q))
+        d_a, i_a = jax.block_until_ready(coarse(q))
+        ov = float(np.mean([np.intersect1d(np.asarray(i_b)[i],
+                                           np.asarray(i_a)[i]).size / NPROBE
+                            for i in range(min(B, 128))]))
+        print(f"coarse binned(bin={bs}, exact): {ms_b:.2f} ms "
+              f"({ms_b*1e3/B:.2f} us/q; overlap-vs-current {ov:.4f})")
+
+    @jax.jit
+    def coarse_lb(q):
+        # matmul + 128-lane block-min only (no selection): the reduction's
+        # bandwidth lower bound.
+        ip = jax.lax.dot_general(
+            q, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dist = -2.0 * ip + centroid_norms[None, :]
+        return dist.reshape(q.shape[0], -1, 128).min(axis=-1)
+    ms_lb = marginal_ms(coarse_lb, q, repeat=3)
+    print(f"coarse matmul+blockmin lower bound: {ms_lb:.2f} ms "
+          f"({ms_lb*1e3/B:.2f} us/q)")
 
     meta_fn = pk.quad_metadata if layout == "quad" else pk.chunk_metadata
 
