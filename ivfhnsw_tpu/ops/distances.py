@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ivfhnsw_tpu.ops.topk import topk_smallest
+from ivfhnsw_tpu.ops.topk import binned_topk_smallest, topk_smallest
 
 # Precision for argmin/assignment sweeps. On TPU the DEFAULT (bf16-input)
 # matmul quantizes near-tie distances, so argmin tie-breaks by index —
@@ -57,11 +57,13 @@ def inner_product(x: jax.Array, y: jax.Array, precision=None) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block", "precision",
-                                             "approx", "recall_target"))
+                                             "approx", "recall_target",
+                                             "exact_reduce"))
 def streaming_topk_l2(queries: jax.Array, points: jax.Array, k: int,
                       block: int = 65536, precision=None,
                       point_sqnorms: jax.Array | None = None,
-                      approx: bool = False, recall_target: float = 0.95):
+                      approx: bool = False, recall_target: float = 0.95,
+                      exact_reduce: str = "topk"):
     """k nearest points (squared L2) for each query, streaming `points`
     in blocks of `block` rows with a running top-k merge.
 
@@ -77,6 +79,15 @@ def streaming_topk_l2(queries: jax.Array, points: jax.Array, k: int,
     unchanged. Measured on v5e at [512, 2^17]: exact top-k(128) costs
     59 us/q vs 7.6 approx at 0.95 (97% probe-set overlap) — the analog of
     the reference's approximate HNSW probe order at efSearch=80-220.
+
+    exact_reduce="binned" swaps each block's exact lax.top_k for the
+    3-pass binned select (ops.topk.binned_topk_smallest, bin 32): the
+    same result modulo equal-distance tie order (the contract every
+    top-k in this codebase already carries), but the wide pass is a
+    bandwidth-bound bin-min instead of a sort. Opt-in until the
+    in-place TPU timing lands (tools/perf_probe.py coarse-reduction
+    A/B); it falls back to lax.top_k internally when kk > width/bin or
+    width % bin != 0.
 
     `points` is padded internally to a multiple of `block`; padded rows get
     +inf distance.
@@ -114,6 +125,8 @@ def streaming_topk_l2(queries: jax.Array, points: jax.Array, k: int,
         if approx and kk < dists.shape[1]:
             blk_d, blk_j = jax.lax.approx_min_k(
                 dists, kk, recall_target=recall_target)
+        elif exact_reduce == "binned":
+            blk_d, blk_j = binned_topk_smallest(dists, kk, bin_size=32)
         else:
             blk_d, blk_j = topk_smallest(dists, kk)
         blk_i = blk_j + blk_idx0
