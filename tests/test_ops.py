@@ -37,6 +37,22 @@ def test_streaming_topk_exact(rng):
     assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
 
 
+def test_streaming_topk_binned_reduce_matches(rng):
+    # exact_reduce="binned" is the same exact selection through the 3-pass
+    # binned block reduction (modulo equal-distance tie order).
+    x = rng.rand(16, 32).astype(np.float32)
+    y = rng.rand(4096, 32).astype(np.float32)
+    for k, block in ((1, 1024), (10, 1024), (32, 512)):
+        dt, it = streaming_topk_l2(jnp.asarray(x), jnp.asarray(y), k,
+                                   block=block, precision=HI)
+        db, ib = streaming_topk_l2(jnp.asarray(x), jnp.asarray(y), k,
+                                   block=block, precision=HI,
+                                   exact_reduce="binned")
+        np.testing.assert_allclose(np.asarray(db), np.asarray(dt), rtol=1e-6)
+        mism = np.asarray(ib) != np.asarray(it)
+        assert np.allclose(np.asarray(db)[mism], np.asarray(dt)[mism])
+
+
 def test_streaming_topk_nondivisible_block(rng):
     x = rng.rand(3, 8).astype(np.float32)
     y = rng.rand(77, 8).astype(np.float32)
