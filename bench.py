@@ -40,6 +40,7 @@ take the LAST parseable line. Progress goes to stderr.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import subprocess
@@ -1333,7 +1334,15 @@ def build_scale4(key):
     with open(p_meta, "w") as f:
         json.dump(meta, f)
     log(f"scale4: extended in {ext_s:.0f}s; write {t_write:.0f}s")
-    return idx, queries, best_l, meta
+    # Reload the compact flat-array form before any eval staging: the
+    # fresh-path process peaked at ~131 GB (builder + finalize copies on
+    # top of eight prior stages' retained host arrays) and was OOM-killed
+    # by the host kernel mid-staging on 2026-08-19. Everything needed is
+    # on disk at this point, so the recursive call takes the cached
+    # branch and returns a single compact copy.
+    del idx
+    gc.collect()
+    return build_scale4(key)
 
 
 def build_siftlike(key):
@@ -1924,8 +1933,10 @@ def main():
         log(f"grouping bench failed: {type(e).__name__}: {e}")
         result["grouping_error"] = str(e)[:200]
     checkpoint("grouping")
+    gc.collect()
     try:
         gidx.release_device()
+        del gidx
     except NameError:
         pass
 
@@ -1965,8 +1976,10 @@ def main():
         log(f"scale bench failed: {type(e).__name__}: {e}")
         result["scale_error"] = str(e)[:200]
     checkpoint("scale")
+    gc.collect()
     try:
         sidx.release_device()
+        del sidx
     except NameError:
         pass
 
@@ -2015,12 +2028,14 @@ def main():
             "deep_build_seconds": round(dp_build_s, 1),
         })
         dpx.release_device()
+        del dpx
     except _StageSkipped:
         pass
     except Exception as e:
         log(f"deep bench failed: {type(e).__name__}: {e}")
         result["deep_error"] = str(e)[:200]
     checkpoint("deep")
+    gc.collect()
 
     # --- scale2: canonical list economics (128M vectors, ~1000 codes/list,
     # nprobe=128, max_codes=100k, routed-assigner build)
@@ -2119,8 +2134,10 @@ def main():
     checkpoint("scale2")
     try:
         s2idx.release_device()
+        del s2idx
     except NameError:
         pass
+    gc.collect()
 
     # --- siftlike: SIFT-faithful corpus — recall comparable to the
     # reference's SIFT1B regime, with same-corpus CPU-port relative parity
@@ -2172,8 +2189,10 @@ def main():
     checkpoint("siftlike")
     try:
         slidx.release_device()
+        del slidx
     except NameError:
         pass
+    gc.collect()
 
     # --- scale3: canonical centroid count nc=2^20 (reference geometry)
     try:
@@ -2268,12 +2287,14 @@ def main():
         except Exception as e:
             log(f"scale3 decomposition failed: {type(e).__name__}: {e}")
         s3idx.release_device()   # scale3sl/scale4 need the HBM next
+        del s3idx
     except _StageSkipped:
         pass
     except Exception as e:
         log(f"scale3 bench failed: {type(e).__name__}: {e}")
         result["scale3_error"] = str(e)[:200]
     checkpoint("scale3")
+    gc.collect()
 
     # --- scale3sl: canonical geometry x SIFT statistics — the recall-
     # parity north star measured, not extrapolated (VERDICT r3 item 2):
@@ -2347,12 +2368,14 @@ def main():
                 if drift else None),
         })
         slx.release_device()
+        del slx
     except _StageSkipped:
         pass
     except Exception as e:
         log(f"scale3sl bench failed: {type(e).__name__}: {e}")
         result["scale3sl_error"] = str(e)[:200]
     checkpoint("scale3sl")
+    gc.collect()
 
     # --- scale4: the chip's residency ceiling — 268M vectors searched on
     # one chip with measured HBM occupancy (VERDICT r3 item 5; SCALING.md's
@@ -2408,12 +2431,14 @@ def main():
                 if drift4 else None),
         })
         s4x.release_device()
+        del s4x
     except _StageSkipped:
         pass
     except Exception as e:
         log(f"scale4 bench failed: {type(e).__name__}: {e}")
         result["scale4_error"] = str(e)[:200]
     checkpoint("scale4")
+    gc.collect()
 
     # --- 1B assign+encode (tools/build_1b.py writes this artifact; the
     # bench only REPORTS it — the run itself is multi-hour)
