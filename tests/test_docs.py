@@ -14,3 +14,76 @@ def test_readme_bench_table_matches_artifact():
         [sys.executable, os.path.join(ROOT, "tools", "render_results.py"),
          "--check"], capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_backfill_skipped_stage_from_committed_record():
+    """A budget-skipped stage's fields backfill from the committed record
+    snapshots with explicit committed-record provenance, and never
+    overwrite a value the run actually measured."""
+    sys.path.insert(0, ROOT)
+    import bench
+
+    result = {"scale4_qps_nprobe128_mc100k": 123.0}  # "measured" this run
+    assert bench.backfill_stage(result, "scale4")
+    # measured value wins over the record
+    assert result["scale4_qps_nprobe128_mc100k"] == 123.0
+    # record fields arrive with provenance
+    assert result["scale4_source"] == "committed-record"
+    assert result["scale4_record_file"] == "RESULTS_SCALE4.json"
+    assert "scale4_recorded_at" in result
+    assert result["scale4_recall_at_1"] > 0
+
+    result2 = {}
+    assert bench.backfill_stage(result2, "scale3sl")
+    assert result2["scale3sl_source"] == "committed-record"
+    assert result2["scale3sl_nb"] > 0
+
+    # unknown stage: nothing to backfill, no provenance fields invented
+    result3 = {}
+    assert not bench.backfill_stage(result3, "nosuchstage")
+    assert result3 == {}
+
+
+def test_bench_zero_budget_run_emits_complete_backfilled_artifact():
+    """bench.py under an exhausted wall-clock budget (the cache-wiped
+    driver scenario, taken to its extreme) must still emit ONE parseable
+    JSON line with every stage either measured or explicitly skipped +
+    backfilled with committed-record provenance. BENCH_FORCE_CPU keeps it
+    off the TPU so this can run in CI."""
+    import json
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_BUDGET_S="0")
+    r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                       capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().split("\n")[-1]
+    res = json.loads(line)
+    skipped = {s["stage"] for s in res.get("skipped_stages", [])}
+    expected = {"primary", "grouping", "scale", "deep", "siftlike",
+                "scale3sl", "scale4", "scale2", "scale3"}
+    assert skipped == expected, skipped
+    for st in expected:
+        assert res.get(f"{st}_source") == "committed-record", st
+    # headline metric present even though nothing was measured this run
+    assert res["value"] > 0 and res["vs_baseline"] > 0
+    assert res["build_1b_source"] == "committed-record"
+
+
+def test_bench_wedged_device_with_no_checkpoint_backfills(monkeypatch,
+                                                          capsys, tmp_path):
+    """The device-unhealthy path with NO cached checkpoint must emit the
+    committed-record backfill (with per-stage provenance), not a bare
+    zero-value stub."""
+    import json
+    sys.path.insert(0, ROOT)
+    import bench
+
+    monkeypatch.setattr(bench, "device_healthy", lambda: False)
+    # point the checkpoint path at an empty dir so no last_result exists
+    monkeypatch.setattr(bench, "CACHE", str(tmp_path))
+    bench.main()
+    line = capsys.readouterr().out.strip().split("\n")[-1]
+    res = json.loads(line)
+    assert "wedged" in res["error"]
+    assert res["primary_source"] == "committed-record"
+    assert res["scale4_source"] == "committed-record"
+    assert res["value"] > 0  # backfilled headline, provenance-marked
