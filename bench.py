@@ -114,6 +114,32 @@ DEEP_NB, DEEP_D, DEEP_NC, DEEP_NQ = 20_000_000, 96, 131_072, 2048
 DEEP_NPROBE, DEEP_MC = 128, 30_000
 CORPUS_VERSION = 3  # v3: assignment at f32-fidelity precision
 
+# BENCH_SMOKE=1: run every stage's REAL build/eval path at tiny shapes in
+# its own cache dir — a CI-runnable end-to-end rehearsal of the exact code
+# the driver's TPU run executes (combine with BENCH_FORCE_CPU=1 to stay off
+# the chip). The numbers it produces are meaningless; the point is that the
+# full stage control flow (builds, routed setup, sweeps, ceilings, CPU
+# baselines, serialization round-trips, result assembly) runs green.
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+if SMOKE:
+    CACHE = os.path.join(ROOT, ".bench_cache_smoke")
+    NB, NQ, NC = 20_000, 256, 64
+    NPROBE, MAX_CODES = 8, 2_000
+    NSUBC = 16
+    CEIL_NQ = 64
+    S_NB, S_NC, S_NQ = 32_768, 256, 64
+    S_NPROBE, S_MC = 8, 2_000
+    S2_NB, S2_NC, S2_NQ = 32_768, 2_048, 64
+    S2_NPROBE, S2_MC = 8, 2_000
+    S3_NB, S3_NC, S3_NQ = 32_768, 1_024, 64
+    S3_NPROBE, S3_MC = 8, 2_000
+    S3SL_NB, S3SL_NC, S3SL_NQ = 32_768, 512, 64
+    S3SL_NCLS = 4_096
+    S3SL_SWEEP = ((4, 500), (8, 1_000), (16, 2_000))
+    S4_NB = 65_536
+    DEEP_NB, DEEP_NC, DEEP_NQ = 32_768, 256, 64
+    DEEP_NPROBE, DEEP_MC = 8, 2_000
+
 
 class _StageSkipped(Exception):
     """Raised inside a stage's try block when the wall-clock budget gate
@@ -255,9 +281,9 @@ def measure_cpu_baseline(idx, queries, gt, tag="cpu_baseline"):
 
     runs = []
     labels = None
-    for run_i in range(3):
+    for run_i in range(1 if SMOKE else 3):
         waited = 0.0
-        while _loadavg_1m() > 0.25 and waited < 600:
+        while not SMOKE and _loadavg_1m() > 0.25 and waited < 600:
             log(f"  host busy (load {_loadavg_1m():.2f}); waiting for idle "
                 f"({waited:.0f}s) ...")
             time.sleep(30)
@@ -295,6 +321,22 @@ def measure_cpu_baseline(idx, queries, gt, tag="cpu_baseline"):
     log(f"  cpu baseline: {us:.1f} us/query (min of {len(runs)}), "
         f"R@1={rec:.4f}")
     return us, float(rec)
+
+
+def estimate_stage_need(cache_probe: list[str], fresh_est: float,
+                        warm_est: float,
+                        discounts=None) -> tuple[bool, float]:
+    """(cached, estimated seconds) for a bench stage. Fully cached -> the
+    warm estimate; otherwise the fresh estimate minus the discount of each
+    partial-cache file that exists (floored at the warm estimate) — a run
+    killed mid-build leaves e.g. centroids.npy, and the phases those files
+    skip should not count against the remaining budget."""
+    cached = all(os.path.exists(os.path.join(CACHE, p)) for p in cache_probe)
+    if cached:
+        return True, warm_est
+    saved = sum(s for p, s in (discounts or [])
+                if os.path.exists(os.path.join(CACHE, p)))
+    return False, max(fresh_est - saved, warm_est)
 
 
 # The primary stage's fields are historically UNPREFIXED (the headline
@@ -651,7 +693,7 @@ def build_scale(key):
         idx.set_centroids(np.load(p_cent))
     else:
         log(f"scale: training nc={S_NC} centroids (hierarchical seed) ...")
-        learn = gen(2_000_000, np.random.RandomState(3))
+        learn = gen(min(2_000_000, S_NB), np.random.RandomState(3))
         idx.train_centroids(key, learn, niter=4)
         np.save(p_cent, np.asarray(idx.centroids))
         del learn
@@ -659,7 +701,7 @@ def build_scale(key):
     if os.path.exists(p_pq):
         idx.load_quantizers(p_pq, p_npq)
     else:
-        learn = gen(262_144, np.random.RandomState(4))
+        learn = gen(min(262_144, S_NB), np.random.RandomState(4))
         idx.train_pq(key, learn)
         idx.save_quantizers(p_pq, p_npq)
         del learn
@@ -780,7 +822,7 @@ def build_deep(key):
         idx.set_centroids(np.load(p_cent))
     else:
         log(f"deep: training nc={DEEP_NC} centroids (d=96, on-TPU) ...")
-        learn = np.asarray(gen_dev(jr.PRNGKey(301), 2_097_152))
+        learn = np.asarray(gen_dev(jr.PRNGKey(301), min(2_097_152, DEEP_NB)))
         idx.train_centroids(key, learn, niter=4)
         np.save(p_cent, np.asarray(idx.centroids))
         del learn
@@ -788,7 +830,7 @@ def build_deep(key):
     if os.path.exists(p_pq):
         idx.load_quantizers(p_pq, p_npq)
     else:
-        learn = np.asarray(gen_dev(jr.PRNGKey(302), 262_144))
+        learn = np.asarray(gen_dev(jr.PRNGKey(302), min(262_144, DEEP_NB)))
         idx.train_pq(key, learn)
         idx.save_quantizers(p_pq, p_npq)
         del learn
@@ -860,7 +902,8 @@ def build_scale2(key):
 
     hi = jax.lax.Precision.HIGH
     rng = np.random.RandomState(7)
-    n_sup, mids_per = 2048, S2_NC // 2048
+    n_sup = min(2048, S2_NC // 4)
+    mids_per = S2_NC // n_sup
     supers_np = rng.randn(n_sup, D).astype(np.float32) * 5.0
     mids_np = (np.repeat(supers_np, mids_per, axis=0)
                + rng.randn(S2_NC, D).astype(np.float32) * 1.5)
@@ -886,7 +929,7 @@ def build_scale2(key):
         idx.set_centroids(np.load(p_cent))
     else:
         log(f"scale2: training nc={S2_NC} centroids ...")
-        learn = np.asarray(gen_dev(jax.random.PRNGKey(78), 2_000_000))
+        learn = np.asarray(gen_dev(jax.random.PRNGKey(78), min(2_000_000, S2_NB)))
         idx.train_centroids(key, learn, niter=4)
         np.save(p_cent, np.asarray(idx.centroids))
         del learn
@@ -894,14 +937,15 @@ def build_scale2(key):
     if os.path.exists(p_pq):
         idx.load_quantizers(p_pq, p_npq)
     else:
-        learn = np.asarray(gen_dev(jax.random.PRNGKey(79), 262_144))
+        learn = np.asarray(gen_dev(jax.random.PRNGKey(79), min(262_144, S2_NB)))
         idx.train_pq(key, learn)
         idx.save_quantizers(p_pq, p_npq)
         del learn
         log(f"scale2: quantizers ready ({time.time()-t_build:.1f}s)")
 
     log("scale2: routed assigner setup + match-rate sample ...")
-    idx.enable_fast_assign(w=4, n_super=2048, key=jax.random.PRNGKey(80))
+    idx.enable_fast_assign(w=4, n_super=min(2048, S2_NC // 4),
+                           key=jax.random.PRNGKey(80))
     sample = np.asarray(gen_dev(jax.random.PRNGKey(81), 32_768))
     exact_keys = idx._assign_device_exact(jnp.asarray(sample))
     match_rate = float(
@@ -952,7 +996,7 @@ def make_scale3_gen():
     import jax.random as jr
 
     rng = np.random.RandomState(11)
-    n_sup = 2048
+    n_sup = min(2048, S3_NC // 4)
     supers_np = rng.randn(n_sup, D).astype(np.float32) * 5.0
     spectrum = (np.arange(1, D + 1) ** -0.5).astype(np.float32)
     mix = rng.randn(D, D).astype(np.float32) / np.sqrt(D)
@@ -1025,7 +1069,7 @@ def build_scale3(key):
 
     import jax.random as jr
     hi = jax.lax.Precision.HIGH
-    n_sup = 2048
+    n_sup = min(2048, S3_NC // 4)
     gen_dev, release_gen = make_scale3_gen()
     queries = np.asarray(gen_dev(jr.PRNGKey(84), S3_NQ))
     np.save(p_q, queries)
@@ -1044,9 +1088,17 @@ def build_scale3(key):
     else:
         from ivfhnsw_tpu.ops.kmeans import hierarchical_seed
         from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
-        log(f"scale3: hierarchical seeding k={S3_NC} ...")
-        learn = np.asarray(gen_dev(jr.PRNGKey(85), 8_388_608))
-        seeds = hierarchical_seed(key, learn, S3_NC)
+        learn = np.asarray(gen_dev(jr.PRNGKey(85), min(8_388_608, S3_NB)))
+        # Seeds checkpoint: seeding is the longest centroid sub-phase
+        # (~70% of it); a run killed mid-Lloyd resumes from here.
+        p_seeds = os.path.join(sdir, "seeds.npy")
+        if os.path.exists(p_seeds):
+            log("scale3: resuming from checkpointed seeds")
+            seeds = np.load(p_seeds)
+        else:
+            log(f"scale3: hierarchical seeding k={S3_NC} ...")
+            seeds = hierarchical_seed(key, learn, S3_NC)
+            np.save(p_seeds, np.asarray(seeds))
         log(f"scale3: seeds ready ({time.time()-t_build:.0f}s); "
             "routed-Lloyd refinement ...")
         cents = seeds
@@ -1064,6 +1116,9 @@ def build_scale3(key):
                 f"({time.time()-t_build:.0f}s)")
         idx.set_centroids(cents)
         np.save(p_cent, cents)
+        if os.path.exists(p_seeds):
+            os.remove(p_seeds)   # superseded by centroids; also keeps the
+                                 # budget discounts from double-counting
         del learn, seeds, cents
         with open(p_prog, "w") as f:
             json.dump({"centroid_seconds": round(time.time() - t_build, 1)},
@@ -1085,7 +1140,7 @@ def build_scale3(key):
     if os.path.exists(p_pq):
         idx.load_quantizers(p_pq, p_npq)
     else:
-        learn = np.asarray(gen_dev(jr.PRNGKey(86), 262_144))
+        learn = np.asarray(gen_dev(jr.PRNGKey(86), min(262_144, S3_NB)))
         idx.train_pq(key, learn)
         idx.save_quantizers(p_pq, p_npq)
         del learn
@@ -1195,7 +1250,7 @@ def build_scale3sl(key):
         return idx, np.load(p_q), np.load(p_gt), meta
 
     hi = jax.lax.Precision.HIGH
-    n_sup = 2048
+    n_sup = min(2048, S3SL_NC // 4)
     gen = SiftLikeDeviceGen(n_classes=S3SL_NCLS, sigma=S3SL_SIGMA, seed=7,
                             skew=S3SL_SKEW)
     # Queries held out via a disjoint key domain (same generative process,
@@ -1216,9 +1271,18 @@ def build_scale3sl(key):
     else:
         from ivfhnsw_tpu.ops.kmeans import hierarchical_seed
         from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
-        log(f"scale3sl: hierarchical seeding k={S3SL_NC} ...")
-        learn = np.asarray(gen.batch_device(jr.PRNGKey(999_001), 8_388_608))
-        seeds = hierarchical_seed(key, learn, S3SL_NC)
+        learn = np.asarray(gen.batch_device(jr.PRNGKey(999_001),
+                                            min(8_388_608, S3SL_NB)))
+        # Seeds checkpoint: seeding is the longest centroid sub-phase
+        # (~70% of it); a run killed mid-Lloyd resumes from here.
+        p_seeds = os.path.join(sdir, "seeds.npy")
+        if os.path.exists(p_seeds):
+            log("scale3sl: resuming from checkpointed seeds")
+            seeds = np.load(p_seeds)
+        else:
+            log(f"scale3sl: hierarchical seeding k={S3SL_NC} ...")
+            seeds = hierarchical_seed(key, learn, S3SL_NC)
+            np.save(p_seeds, np.asarray(seeds))
         log(f"scale3sl: seeds ready ({time.time()-t_build:.0f}s); "
             "routed-Lloyd refinement ...")
         cents = seeds
@@ -1236,6 +1300,9 @@ def build_scale3sl(key):
                 f"({time.time()-t_build:.0f}s)")
         idx.set_centroids(cents)
         np.save(p_cent, cents)
+        if os.path.exists(p_seeds):
+            os.remove(p_seeds)   # superseded by centroids; also keeps the
+                                 # budget discounts from double-counting
         del learn, seeds, cents
         with open(p_prog, "w") as f:
             json.dump({"centroid_seconds": round(time.time() - t_build, 1)},
@@ -1257,7 +1324,8 @@ def build_scale3sl(key):
     if os.path.exists(p_pq):
         idx.load_quantizers(p_pq, p_npq)
     else:
-        learn = np.asarray(gen.batch_device(jr.PRNGKey(999_003), 262_144))
+        learn = np.asarray(gen.batch_device(jr.PRNGKey(999_003),
+                                            min(262_144, S3SL_NB)))
         idx.train_pq(key, learn)
         idx.save_quantizers(p_pq, p_npq)
         del learn
@@ -1360,10 +1428,11 @@ def build_scale4(key):
     idx.store = None       # needs centroids + PQ tables on device
     gen = SiftLikeDeviceGen(n_classes=S3SL_NCLS, sigma=S3SL_SIGMA, seed=7,
                             skew=S3SL_SKEW)
-    idx.enable_fast_assign(w=4, n_super=2048, key=jr.PRNGKey(195))
+    idx.enable_fast_assign(w=4, n_super=min(2048, S3SL_NC // 4),
+                           key=jr.PRNGKey(195))
     hi = jax.lax.Precision.HIGH
     qj = jnp.asarray(queries)
-    bs = 1_048_576
+    bs = min(1_048_576, S3SL_NB)
     drift = []
     log(f"scale4: extending stream {S3SL_NB} -> {S4_NB} ...")
     for bi in range(S3SL_NB // bs, S4_NB // bs):
@@ -1449,8 +1518,9 @@ def build_siftlike(key):
     t0 = time.time()
     corpus = SiftLikeCorpus(n_classes=65536, seed=1)
     log("siftlike: generating corpus ...")
-    base = np.concatenate([corpus.batch(125_000, seed=100 + i)
-                           for i in range(NB // 125_000)])
+    sl_bs = min(125_000, NB)
+    base = np.concatenate([corpus.batch(sl_bs, seed=100 + i)
+                           for i in range(-(-NB // sl_bs))])[:NB]
     queries = corpus.batch(NQ, seed=9999)          # held out of base
     np.save(p_q, queries)
     if os.path.exists(p_cent):
@@ -1552,6 +1622,7 @@ def routed_setup(idx, queries, nprobe: int, sdir: str, n_ctl: int = 256,
                 idx.routed_w = d["w"]
             return d["w"], d["overlap"]
 
+    n_ctl = min(n_ctl, queries.shape[0])
     q = jnp.asarray(queries[:n_ctl])
     _, exact = streaming_topk_l2(q, idx.centroids, nprobe,
                                  block=idx._coarse_block_for(n_ctl),
@@ -1616,7 +1687,8 @@ def routed_setup(idx, queries, nprobe: int, sdir: str, n_ctl: int = 256,
                               max_codes=max_codes or 0, coarse_mode=mode)
 
             def f():
-                d_, _ = idx.search_device(qd, pm)
+                d_, _ = idx.search_device(
+                    qd, pm, interpret=jax.default_backend() != "tpu")
                 float(jnp.min(d_))   # scalar pull: block_until_ready lies
                                      # through the dev tunnel (see timed_qps)
             f()
@@ -1701,6 +1773,9 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
     import jax
     import jax.numpy as jnp
 
+    if reshape is not None and queries.shape[0] % reshape:
+        reshape = queries.shape[0]      # tiny (smoke) query sets: one batch
+
     def shape(q):
         return jnp.asarray(q if reshape is None
                            else q.reshape(-1, reshape, D))
@@ -1733,14 +1808,21 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
         # a bulk transfer to the timed region.
         float(jnp.min(x))
 
-    d_, l_ = idx.search_device(shape(queries), params)  # warmup + labels
+    # search_device is the Pallas serving path; off-TPU (BENCH_SMOKE CI
+    # rehearsals) the kernel must run in interpret mode.
+    interp = jax.default_backend() != "tpu"
+
+    def search_dev(qb):
+        return idx.search_device(qb, params, interpret=interp)
+
+    d_, l_ = search_dev(shape(queries))  # warmup + labels
     sync(d_)
     best = float("inf")
     for r in range(runs):
         qb = fresh()
         qb.block_until_ready()           # upload outside the timed region
         t0 = time.perf_counter()
-        d2_, _ = idx.search_device(qb, params)
+        d2_, _ = search_dev(qb)
         sync(d2_)
         dt = time.perf_counter() - t0
         best = min(best, dt)
@@ -1750,7 +1832,7 @@ def timed_qps(idx, queries, params, runs=3, reshape=1024, depth=4):
         qbs = [fresh() for _ in range(depth)]
         jax.block_until_ready(qbs)
         t0 = time.perf_counter()
-        outs = [idx.search_device(qb, params) for qb in qbs]
+        outs = [search_dev(qb) for qb in qbs]
         # Device execution is in-order, so the last launch's completion
         # implies all prior launches finished.
         sync(outs[-1][0])
@@ -1833,6 +1915,12 @@ def main():
     # silently mid-stream inside the driver's window, stages whose estimated
     # cost exceeds the remaining budget are skipped with explicit markers.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "10800"))
+    # BENCH_STAGES="primary,grouping": run only the named stages; the rest
+    # skip with an explicit "stage filter" marker + committed-record
+    # backfill. Used by the CI smoke rehearsal and by targeted warm-ups.
+    stage_filter = {s.strip() for s in
+                    os.environ.get("BENCH_STAGES", "").split(",")
+                    if s.strip()} or None
 
     def remaining() -> float:
         return budget_s - (time.perf_counter() - t_start)
@@ -1867,13 +1955,24 @@ def main():
     signal.signal(signal.SIGINT, _flush_and_exit)
 
     def skip_stage(name: str, cache_probe: list[str], fresh_est: float,
-                   warm_est: float) -> bool:
+                   warm_est: float,
+                   discounts: list[tuple[str, float]] | None = None) -> bool:
         """True if `name` should be skipped for budget; records the marker.
         cache_probe: files (relative to CACHE) whose presence means the
-        stage's expensive build is cached and only timed runs remain."""
-        cached = all(os.path.exists(os.path.join(CACHE, p))
-                     for p in cache_probe)
-        need = warm_est if cached else fresh_est
+        stage's expensive build is cached and only timed runs remain.
+        discounts: (file, seconds) pairs — a PARTIAL cache (e.g. a prior
+        run killed mid-build left centroids.npy) cuts the fresh estimate
+        by the phases those files skip, so a stage that is actually
+        affordable isn't skipped on its cold-cache estimate."""
+        if stage_filter is not None and name not in stage_filter:
+            skipped_names.add(name)
+            log(f"{name}: SKIPPED — not in BENCH_STAGES filter")
+            result.setdefault("skipped_stages", []).append({
+                "stage": name, "reason": "stage filter"})
+            backfill_stage(result, name)
+            return True
+        cached, need = estimate_stage_need(cache_probe, fresh_est,
+                                           warm_est, discounts)
         if remaining() < need:
             skipped_names.add(name)
             log(f"{name}: SKIPPED — needs ~{need:.0f}s "
@@ -2211,7 +2310,11 @@ def main():
     # (ceiling is density-bound ~0.96 at 128 codes/list — see S3SL_*).
     try:
         if skip_stage("scale3sl", ["scale3sl/sl.index",
-                                   "scale3sl/ceiling.json"], 7100, 700):
+                                   "scale3sl/ceiling.json"], 7100, 700,
+                      discounts=[("scale3sl/seeds.npy", 1700),
+                                 ("scale3sl/centroids.npy", 2500),
+                                 ("scale3sl/sl.pq", 200),
+                                 ("scale3sl/sl.index", 4000)]):
             raise _StageSkipped()
         log("scale3sl: build/load ...")
         slx, slxq, slxgt, slxmeta = build_scale3sl(key)
@@ -2289,8 +2392,14 @@ def main():
     # one chip with measured HBM occupancy (VERDICT r3 item 5; SCALING.md's
     # ~250M/v5e arithmetic, demonstrated).
     try:
+        # Fresh scale4 includes building scale3sl first (it extends that
+        # stream); a cached scale3sl index discounts that entire phase.
         if skip_stage("scale4", ["scale4/s4.index",
-                                 "scale4/ceiling.json"], 5000, 800):
+                                 "scale4/ceiling.json"], 12100, 800,
+                      discounts=[("scale3sl/centroids.npy", 2500),
+                                 ("scale3sl/sl.pq", 200),
+                                 ("scale3sl/sl.index", 4400),
+                                 ("scale4/s4.index", 4200)]):
             raise _StageSkipped()
         log("scale4: build/load ...")
         s4x, s4q, s4gt, s4meta = build_scale4(key)
@@ -2352,7 +2461,10 @@ def main():
     # nprobe=128, max_codes=100k, routed-assigner build)
     try:
         if skip_stage("scale2", ["scale2/scale2.index",
-                                 "scale2/ceiling.json"], 4200, 500):
+                                 "scale2/ceiling.json"], 4200, 500,
+                      discounts=[("scale2/centroids.npy", 700),
+                                 ("scale2/scale2.pq", 200),
+                                 ("scale2/scale2.index", 2800)]):
             raise _StageSkipped()
         log("scale2: build/load ...")
         s2idx, s2q, s2gt, s2meta = build_scale2(key)
@@ -2453,7 +2565,11 @@ def main():
     # --- scale3: canonical centroid count nc=2^20 (reference geometry)
     try:
         if skip_stage("scale3", ["scale3/scale3.index",
-                                 "scale3/ceiling.json"], 5500, 600):
+                                 "scale3/ceiling.json"], 5500, 600,
+                      discounts=[("scale3/seeds.npy", 1400),
+                                 ("scale3/centroids.npy", 2000),
+                                 ("scale3/scale3.pq", 200),
+                                 ("scale3/scale3.index", 2700)]):
             raise _StageSkipped()
         log("scale3: build/load ...")
         s3idx, s3q, s3gt, s3meta = build_scale3(key)

@@ -87,3 +87,49 @@ def test_bench_wedged_device_with_no_checkpoint_backfills(monkeypatch,
     assert res["primary_source"] == "committed-record"
     assert res["scale4_source"] == "committed-record"
     assert res["value"] > 0  # backfilled headline, provenance-marked
+
+
+def test_estimate_stage_need_partial_cache_discounts(monkeypatch, tmp_path):
+    """A partial cache (centroids from a killed build) must cut the fresh
+    estimate so an affordable stage isn't skipped on its cold estimate."""
+    sys.path.insert(0, ROOT)
+    import bench
+
+    monkeypatch.setattr(bench, "CACHE", str(tmp_path))
+    probe = ["s/x.index", "s/ceiling.json"]
+    disc = [("s/centroids.npy", 2500), ("s/x.pq", 200), ("s/x.index", 4000)]
+    # cold: full fresh estimate
+    assert bench.estimate_stage_need(probe, 7100, 700, disc) == (False, 7100)
+    # centroids cached: fresh minus the centroid phase
+    (tmp_path / "s").mkdir()
+    (tmp_path / "s" / "centroids.npy").write_bytes(b"")
+    assert bench.estimate_stage_need(probe, 7100, 700, disc) == (False, 4600)
+    # index cached too: floored at the warm estimate
+    (tmp_path / "s" / "x.pq").write_bytes(b"")
+    (tmp_path / "s" / "x.index").write_bytes(b"")
+    assert bench.estimate_stage_need(probe, 7100, 700, disc) == (False, 700)
+    # fully cached (ceiling present): warm estimate
+    (tmp_path / "s" / "ceiling.json").write_bytes(b"{}")
+    assert bench.estimate_stage_need(probe, 7100, 700, disc) == (True, 700)
+
+
+def test_bench_smoke_stage_filter_runs_real_tiny_primary():
+    """BENCH_SMOKE + BENCH_STAGES CI rehearsal: the primary stage runs its
+    REAL build/eval path at tiny shapes on CPU (measured, not backfilled),
+    and every other stage skips with a stage-filter marker + backfill."""
+    import json
+    env = dict(os.environ, BENCH_SMOKE="1", BENCH_FORCE_CPU="1",
+               BENCH_STAGES="primary")
+    r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                       capture_output=True, text=True, env=env,
+                       timeout=1800)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().split("\n")[-1])
+    assert res["stages_done"] == ["primary"]
+    assert "primary_source" not in res          # measured this run
+    assert res["value"] > 0 and res["recall_at_1"] > 0
+    skipped = {s["stage"]: s["reason"] for s in res["skipped_stages"]}
+    assert set(skipped) == {"grouping", "scale", "deep", "siftlike",
+                            "scale3sl", "scale4", "scale2", "scale3"}
+    assert all(v == "stage filter" for v in skipped.values())
+    assert res["grouping_source"] == "committed-record"
