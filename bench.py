@@ -50,7 +50,11 @@ import time
 import numpy as np
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
-CACHE = os.path.join(ROOT, ".bench_cache")
+# BENCH_CACHE_DIR: redirect every cache/checkpoint write (subprocess CI
+# runs must NOT clobber the real .bench_cache/last_result.json the driver
+# falls back to on a wedged device).
+CACHE = os.environ.get("BENCH_CACHE_DIR",
+                       os.path.join(ROOT, ".bench_cache"))
 NB, NQ, D, NC = 2_000_000, 8192, 128, 4096
 CODE_SIZE = 16
 NPROBE, MAX_CODES, K = 32, 10_000, 10
@@ -122,7 +126,8 @@ CORPUS_VERSION = 3  # v3: assignment at f32-fidelity precision
 # baselines, serialization round-trips, result assembly) runs green.
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
-    CACHE = os.path.join(ROOT, ".bench_cache_smoke")
+    if "BENCH_CACHE_DIR" not in os.environ:
+        CACHE = os.path.join(ROOT, ".bench_cache_smoke")
     NB, NQ, NC = 20_000, 256, 64
     NPROBE, MAX_CODES = 8, 2_000
     NSUBC = 16

@@ -44,14 +44,18 @@ def test_backfill_skipped_stage_from_committed_record():
     assert result3 == {}
 
 
-def test_bench_zero_budget_run_emits_complete_backfilled_artifact():
+def test_bench_zero_budget_run_emits_complete_backfilled_artifact(tmp_path):
     """bench.py under an exhausted wall-clock budget (the cache-wiped
     driver scenario, taken to its extreme) must still emit ONE parseable
     JSON line with every stage either measured or explicitly skipped +
     backfilled with committed-record provenance. BENCH_FORCE_CPU keeps it
-    off the TPU so this can run in CI."""
+    off the TPU so this can run in CI. BENCH_CACHE_DIR isolates the
+    subprocess's checkpoint writes: without it this test CLOBBERS the real
+    .bench_cache/last_result.json the driver falls back to on a wedged
+    device."""
     import json
-    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_BUDGET_S="0")
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_BUDGET_S="0",
+               BENCH_CACHE_DIR=str(tmp_path))
     r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        capture_output=True, text=True, env=env, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
@@ -113,13 +117,13 @@ def test_estimate_stage_need_partial_cache_discounts(monkeypatch, tmp_path):
     assert bench.estimate_stage_need(probe, 7100, 700, disc) == (True, 700)
 
 
-def test_bench_smoke_stage_filter_runs_real_tiny_primary():
+def test_bench_smoke_stage_filter_runs_real_tiny_primary(tmp_path):
     """BENCH_SMOKE + BENCH_STAGES CI rehearsal: the primary stage runs its
     REAL build/eval path at tiny shapes on CPU (measured, not backfilled),
     and every other stage skips with a stage-filter marker + backfill."""
     import json
     env = dict(os.environ, BENCH_SMOKE="1", BENCH_FORCE_CPU="1",
-               BENCH_STAGES="primary")
+               BENCH_STAGES="primary", BENCH_CACHE_DIR=str(tmp_path))
     r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        capture_output=True, text=True, env=env,
                        timeout=1800)
