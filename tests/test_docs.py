@@ -38,10 +38,18 @@ def test_backfill_skipped_stage_from_committed_record():
     assert result2["scale3sl_source"] == "committed-record"
     assert result2["scale3sl_nb"] > 0
 
-    # unknown stage: nothing to backfill, no provenance fields invented
+    # stage with no committed record: no fields invented, but an explicit
+    # unavailable marker keeps the artifact mechanically complete
     result3 = {}
     assert not bench.backfill_stage(result3, "nosuchstage")
-    assert result3 == {}
+    assert result3 == {"nosuchstage_source": "unavailable"}
+
+    # sibling-prefix isolation: backfilling "grouping" must never swallow
+    # "grouping_scale_*" fields (both are stages; the prefixes collide)
+    result4 = {}
+    bench.backfill_stage(result4, "grouping")
+    assert not any(k.startswith("grouping_scale_") for k in result4
+                   if k != "grouping_scale_source")
 
 
 def test_bench_zero_budget_run_emits_complete_backfilled_artifact(tmp_path):
@@ -117,11 +125,26 @@ def test_estimate_stage_need_partial_cache_discounts(monkeypatch, tmp_path):
     assert bench.estimate_stage_need(probe, 7100, 700, disc) == (True, 700)
 
 
+def _seed_smoke_cache(tmp_path):
+    """Copy the committed warm .bench_cache_smoke artifacts into the test's
+    isolated cache dir: keeps subprocess isolation (CI runs can't clobber
+    the tracked cache) while staying warm (no cold tiny-corpus rebuild)."""
+    import shutil
+    src = os.path.join(ROOT, ".bench_cache_smoke")
+    if os.path.isdir(src):
+        shutil.copytree(src, str(tmp_path), dirs_exist_ok=True)
+        for junk in ("last_result.json", ".lock"):
+            p = os.path.join(str(tmp_path), junk)
+            if os.path.exists(p):
+                os.remove(p)
+
+
 def test_bench_smoke_stage_filter_runs_real_tiny_primary(tmp_path):
     """BENCH_SMOKE + BENCH_STAGES CI rehearsal: the primary stage runs its
     REAL build/eval path at tiny shapes on CPU (measured, not backfilled),
     and every other stage skips with a stage-filter marker + backfill."""
     import json
+    _seed_smoke_cache(tmp_path)
     env = dict(os.environ, BENCH_SMOKE="1", BENCH_FORCE_CPU="1",
                BENCH_STAGES="primary", BENCH_CACHE_DIR=str(tmp_path))
     r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
@@ -137,3 +160,53 @@ def test_bench_smoke_stage_filter_runs_real_tiny_primary(tmp_path):
                             "scale3sl", "scale4", "scale2", "scale3"}
     assert all(v == "stage filter" for v in skipped.values())
     assert res["grouping_source"] == "committed-record"
+
+
+def test_bench_sigterm_midstage_emits_complete_artifact(tmp_path):
+    """Round-4 verdict item 1 acceptance test: SIGTERM a BENCH_FORCE_CPU
+    smoke run mid-stage. The process must exit 0 and its LAST stdout line
+    must parse as JSON and be COMPLETE: every STAGES_ALL entry is either
+    measured this run (in stages_done) or stamped with <stage>_source
+    provenance (committed-record / unavailable) by the flush-time
+    backfill. Reference protocol analog: the driver prints its measured
+    numbers where the harness captures them (test_ivfhnsw_sift1b.cpp:
+    188-215)."""
+    import json
+    import signal
+    import time
+
+    _seed_smoke_cache(tmp_path)
+    env = dict(os.environ, BENCH_SMOKE="1", BENCH_FORCE_CPU="1",
+               BENCH_CACHE_DIR=str(tmp_path))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env)
+    # Wait for the first stage-boundary checkpoint (last_result.json), then
+    # kill: the bench is genuinely mid-stage (grouping or later running).
+    last = os.path.join(str(tmp_path), "last_result.json")
+    t0 = time.time()
+    while time.time() - t0 < 900 and proc.poll() is None:
+        if os.path.exists(last):
+            break
+        time.sleep(0.5)
+    terminated = False
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGTERM)
+        terminated = True
+    out, _ = proc.communicate(timeout=600)
+    assert proc.returncode == 0, f"rc={proc.returncode}"
+    res = json.loads(out.strip().split("\n")[-1])
+    if terminated:
+        assert res.get("terminated_by_signal") == signal.SIGTERM
+
+    sys.path.insert(0, ROOT)
+    import bench
+    done = set(res.get("stages_done", []))
+    for st in bench.STAGES_ALL:
+        assert (st in done or f"{st}_source" in res), (
+            f"stage {st!r} missing from artifact: neither measured "
+            f"(stages_done={sorted(done)}) nor provenance-stamped")
+    # The artifact (not the exit code) is the deliverable — headline fields
+    # must be present under any termination.
+    assert "value" in res and "vs_baseline" in res
