@@ -105,6 +105,17 @@ S3SL_NCLS = 1 << 22
 S3SL_SIGMA = 0.75
 S3SL_SKEW = 1.0
 S3SL_SWEEP = ((32, 10_000), (64, 30_000), (128, 100_000))
+# grouping_scale: the FLAGSHIP VARIANT at scale (VERDICT r4 item 2):
+# IVFADC+Grouping+Pruning+OPQ on the siftlike corpus at 33.5M x nc=2^17,
+# nsubc=64 (~256 codes/list, ~4 codes/sub-list) — exercises the two-pass
+# alpha build (alpha/nn/inter-dist state at 2^17 groups), the quad
+# grouping kernel's schedule at real list statistics, and the pruning
+# on/off delta at reference-like operating points. Reference:
+# examples/run_sift1b_grouping_OPQ.sh:39-48,
+# IndexIVF_HNSW_Grouping.cpp:188-363.
+GS_NB, GS_NC, GS_NQ = 33_554_432, 131_072, 1024
+GS_NPROBE, GS_MC = 128, 100_000
+
 # scale4: the chip's residency ceiling (VERDICT r3 item 5): 268M vectors
 # (2 x scale3sl, ~256 codes/list) searched on ONE chip — extends
 # scale3sl's stream with the same quantizers and records HBM occupancy
@@ -143,6 +154,8 @@ if SMOKE:
     S3SL_NCLS = 4_096
     S3SL_SWEEP = ((4, 500), (8, 1_000), (16, 2_000))
     S4_NB = 65_536
+    GS_NB, GS_NC, GS_NQ = 32_768, 128, 64
+    GS_NPROBE, GS_MC = 8, 2_000
     DEEP_NB, DEEP_NC, DEEP_NQ = 32_768, 256, 64
     DEEP_NPROBE, DEEP_MC = 8, 2_000
 
@@ -1534,6 +1547,187 @@ def build_scale4(key):
     return build_scale4(key)
 
 
+def build_grouping_scale(key):
+    """Grouping+Pruning+OPQ at scale (VERDICT r4 item 2): 33.5M siftlike
+    vectors, nc=2^17, nsubc=64 — the reference's flagship variant
+    (run_sift1b_grouping_OPQ.sh) at list statistics approaching its
+    regime (~256 codes/list). Two-pass streamed build: pass 1 assigns
+    (keys kept, 4 B/vector) and accumulates alpha statistics on device;
+    pass 2 re-generates the stream and encodes against the final alphas
+    (add_group split across passes, IndexIVF_HNSW_Grouping.cpp:43-157).
+    Groundtruth for GS_NQ held-out queries merges streamingly in pass 2."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    from ivfhnsw_tpu import IVFADCGroupingIndex, IndexConfig
+    from ivfhnsw_tpu.ops.distances import streaming_topk_l2
+    from ivfhnsw_tpu.utils.siftlike import SiftLikeDeviceGen
+
+    sdir = os.path.join(CACHE, "grouping_scale")
+    os.makedirs(sdir, exist_ok=True)
+    p_cent = os.path.join(sdir, "centroids.npy")
+    p_nn = os.path.join(sdir, "neighbors.npz")
+    p_pq = os.path.join(sdir, "gs.pq")
+    p_npq = os.path.join(sdir, "gs.norm_pq")
+    p_opq = os.path.join(sdir, "gs.opq")
+    p_idx = os.path.join(sdir, "gs.index")
+    p_gt = os.path.join(sdir, "gt.npy")
+    p_q = os.path.join(sdir, "queries.npy")
+    p_meta = os.path.join(sdir, "build_meta.json")
+
+    hi = jax.lax.Precision.HIGH
+    cfg = IndexConfig(d=D, nc=GS_NC, code_size=CODE_SIZE, nsubc=NSUBC,
+                      do_opq=True)
+    gidx = IVFADCGroupingIndex(cfg)
+
+    def load_neighbors():
+        if os.path.exists(p_nn):
+            z = np.load(p_nn)
+            gidx.nn_centroid_idxs = jnp.asarray(z["nn_i"])
+            gidx.inter_centroid_dists = jnp.asarray(z["nn_d"])
+        else:
+            # HIGH precision: the HIGHEST default falls off the MXU fast
+            # path and is ~360x slower at this sweep size (2^17 x 2^17).
+            gidx.compute_neighbor_centroids(precision=hi)
+            np.savez(p_nn, nn_i=np.asarray(gidx.nn_centroid_idxs),
+                     nn_d=np.asarray(gidx.inter_centroid_dists))
+
+    if all(os.path.exists(p) for p in (p_cent, p_pq, p_npq, p_opq, p_idx,
+                                       p_gt, p_q, p_meta)):
+        gidx.set_centroids(np.load(p_cent))
+        load_neighbors()
+        gidx.load_quantizers(p_pq, p_npq, p_opq)
+        gidx.alphas = None
+        gidx.read(p_idx)  # restores alphas from the file
+        with open(p_meta) as f:
+            meta = json.load(f)
+        return gidx, np.load(p_q), np.load(p_gt), meta
+
+    n_sup = min(2048, GS_NC // 4)
+    gen = SiftLikeDeviceGen(n_classes=S3SL_NCLS, sigma=S3SL_SIGMA, seed=13,
+                            skew=S3SL_SKEW)
+    queries = np.asarray(gen.batch_device(jr.PRNGKey(777_777), GS_NQ))
+    np.save(p_q, queries)
+
+    t_build = time.time()
+    meta = {"sigma": S3SL_SIGMA, "n_classes": S3SL_NCLS, "nsubc": NSUBC}
+    if os.path.exists(p_cent):
+        gidx.set_centroids(np.load(p_cent))
+    else:
+        from ivfhnsw_tpu.ops.kmeans import hierarchical_seed
+        from ivfhnsw_tpu.ops.hierarchical import TwoLevelAssigner
+        learn = np.asarray(gen.batch_device(jr.PRNGKey(777_001),
+                                            min(8_388_608, GS_NB)))
+        log(f"grouping_scale: hierarchical seeding k={GS_NC} ...")
+        cents = hierarchical_seed(key, learn, GS_NC)
+        for it in range(2):
+            assigner = TwoLevelAssigner(np.asarray(cents), n_super=n_sup,
+                                        w=4, key=jr.PRNGKey(290 + it))
+            keys_l = assigner.assign(learn)
+            sums = np.zeros((GS_NC, D), np.float64)
+            np.add.at(sums, keys_l, learn.astype(np.float64))
+            counts = np.bincount(keys_l, minlength=GS_NC).astype(np.int64)
+            nz = counts > 0
+            cents = np.asarray(cents).copy()
+            cents[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+            log(f"grouping_scale: Lloyd iter {it} done ({int(nz.sum())} "
+                f"non-empty, {time.time()-t_build:.0f}s)")
+        gidx.set_centroids(cents)
+        np.save(p_cent, cents)
+        del learn, cents
+    log(f"grouping_scale: centroids ready ({time.time()-t_build:.0f}s)")
+    load_neighbors()
+    log(f"grouping_scale: neighbor structure ready "
+        f"({time.time()-t_build:.0f}s)")
+
+    log("grouping_scale: routed assigner setup + match-rate gate ...")
+    gidx.enable_fast_assign(w=4, n_super=n_sup, key=jr.PRNGKey(295))
+    sample = np.asarray(gen.batch_device(jr.PRNGKey(777_002), 8192))
+    exact_keys = gidx._assign_device_exact(jnp.asarray(sample))
+    match_rate = float(
+        (gidx._fast_assigner.assign(sample) == exact_keys).mean())
+    log(f"grouping_scale: routed exact-match rate = {match_rate:.4f}")
+    meta["routed_match_rate"] = round(match_rate, 4)
+    if match_rate < 0.98:
+        log("grouping_scale: below 0.98 gate — exact assignment")
+        gidx._fast_assigner = None
+        meta["assignment_mode"] = ("exact (routed gate fired at %.4f)"
+                                   % match_rate)
+    else:
+        meta["assignment_mode"] = "routed"
+
+    if os.path.exists(p_pq):
+        gidx.load_quantizers(p_pq, p_npq, p_opq)
+    else:
+        learn = np.asarray(gen.batch_device(jr.PRNGKey(777_003),
+                                            min(65_536, GS_NB)))
+        log("grouping_scale: train PQ+OPQ (subcentroid residuals) ...")
+        gidx.train_pq(key, learn, opq_niter=8)
+        gidx.save_quantizers(p_pq, p_npq, p_opq)
+        del learn
+        log(f"grouping_scale: quantizers ready "
+            f"({time.time()-t_build:.0f}s)")
+
+    bs = 1_048_576
+    keys_all = np.empty(GS_NB, np.int32)
+    t_alpha = time.time()
+    log(f"grouping_scale: pass 1/2 — assign + alpha stats over {GS_NB} "
+        "vectors ...")
+    for bi, off in enumerate(range(0, GS_NB, bs)):
+        blk = gen.batch_device(jr.PRNGKey(4_000_000 + bi),
+                               min(bs, GS_NB - off))
+        kb = gidx.assign_batch_device(blk)
+        keys_all[off:off + kb.shape[0]] = kb
+        gidx.alpha_pass_device(blk, kb)
+        if bi % 8 == 0:
+            log(f"  grouping_scale pass1: {off + kb.shape[0]}/{GS_NB} "
+                f"({time.time()-t_build:.0f}s)")
+    gidx.finalize_alphas()
+    alpha_s = time.time() - t_alpha
+    log(f"grouping_scale: alphas ready (pass 1 took {alpha_s:.0f}s)")
+
+    qj = jnp.asarray(queries)
+    best_d = np.full((GS_NQ, 1), np.inf, np.float32)
+    best_l = np.full((GS_NQ, 1), -1, np.int64)
+    t_enc = time.time()
+    log("grouping_scale: pass 2/2 — encode + groundtruth merge ...")
+    for bi, off in enumerate(range(0, GS_NB, bs)):
+        blk = gen.batch_device(jr.PRNGKey(4_000_000 + bi),
+                               min(bs, GS_NB - off))
+        n_blk = int(blk.shape[0])
+        gidx.add_batch_device(blk,
+                              np.arange(off, off + n_blk, dtype=np.int32),
+                              precomputed_idx=keys_all[off:off + n_blk])
+        d_, i_ = streaming_topk_l2(qj, blk, 1, block=131_072, precision=hi)
+        d_, i_ = np.asarray(d_), np.asarray(i_) + off
+        upd = d_[:, 0] < best_d[:, 0]
+        best_d[upd] = d_[upd]
+        best_l[upd] = i_[upd]
+        if bi % 8 == 0:
+            log(f"  grouping_scale pass2: {off + n_blk}/{GS_NB} "
+                f"({time.time()-t_build:.0f}s)")
+    gidx._fast_assigner = None
+    gen.release()
+    del keys_all
+    gidx.finalize()
+    encode_s = time.time() - t_enc
+    build_s = time.time() - t_build
+
+    t0 = time.time()
+    gidx.write(p_idx)
+    t_write = time.time() - t0
+    np.save(p_gt, best_l)
+    meta.update({"build_seconds": round(build_s, 1),
+                 "alpha_pass_seconds": round(alpha_s, 1),
+                 "encode_pass_seconds": round(encode_s, 1),
+                 "write_seconds": round(t_write, 1)})
+    with open(p_meta, "w") as f:
+        json.dump(meta, f)
+    log(f"grouping_scale: built in {build_s:.0f}s (alpha {alpha_s:.0f}s, "
+        f"encode {encode_s:.0f}s); write {t_write:.0f}s")
+    return gidx, queries, best_l, meta
+
+
 def build_siftlike(key):
     """SIFT-faithful corpus stage (VERDICT r2 item 6): uint8-quantized,
     heavy-tailed cell x orientation-bin descriptors with held-out queries
@@ -2630,6 +2824,96 @@ def main():
         log(f"scale4 bench failed: {type(e).__name__}: {e}")
         result["scale4_error"] = str(e)[:200]
     checkpoint("scale4")
+    gc.collect()
+
+    # --- grouping_scale: the flagship variant (Grouping+Pruning+OPQ) at
+    # 33.5M x nc=2^17 on the siftlike corpus (VERDICT r4 item 2): QPS +
+    # R@1/10/100 + grouping exact-ADC ceiling + the pruning on/off delta
+    # + the two-pass alpha build cost at scale.
+    try:
+        if skip_stage("grouping_scale",
+                      ["grouping_scale/gs.index",
+                       "grouping_scale/ceiling.json"], 4200, 600,
+                      discounts=[("grouping_scale/centroids.npy", 900),
+                                 ("grouping_scale/gs.pq", 300),
+                                 ("grouping_scale/gs.index", 2300)]):
+            raise _StageSkipped()
+        log("grouping_scale: build/load ...")
+        gsx, gsq, gsgt, gsmeta = build_grouping_scale(key)
+        gsp = SearchParams(k=K, nprobe=GS_NPROBE, max_codes=GS_MC,
+                           do_pruning=True)
+        gs_gran = gsx.scan_unit()
+        gs_dem = int(gsx.scan_slot_demand(gsq, gsp).max())
+        log(f"grouping_scale: scan slots profiled {gs_dem} "
+            f"(unit {gs_gran})")
+        gsp = SearchParams(k=K, nprobe=GS_NPROBE, max_codes=GS_MC,
+                           do_pruning=True, scan_budget=gs_dem * gs_gran)
+        log("grouping_scale: warmup + timed runs (pruning ON) ...")
+        gs_qps, gs_labels, gs_sl_us = timed_qps(gsx, gsq, gsp, runs=2,
+                                                reshape=None, depth=8)
+        gs_rec = recall_at_k(gs_labels, gsgt, ks=(1, 10))
+        gsp100 = SearchParams(k=100, nprobe=GS_NPROBE, max_codes=GS_MC,
+                              do_pruning=True,
+                              scan_budget=gs_dem * gs_gran)
+        _, gsl100 = gsx.search(gsq, gsp100, batch=256)
+        gs_r100 = recall_at_k(gsl100, gsgt, ks=(100,))
+        log("grouping_scale: pruning OFF comparison run ...")
+        gsp_off = SearchParams(k=K, nprobe=GS_NPROBE, max_codes=GS_MC,
+                               do_pruning=False,
+                               scan_budget=gs_dem * gs_gran)
+        gs_qps_off, gs_labels_off, _ = timed_qps(gsx, gsq, gsp_off,
+                                                 runs=1, reshape=None,
+                                                 depth=8)
+        gs_rec_off = recall_at_k(gs_labels_off, gsgt, ks=(1, 10))
+        p_ceil_gs = os.path.join(CACHE, "grouping_scale", "ceiling.json")
+        if os.path.exists(p_ceil_gs):
+            with open(p_ceil_gs) as f:
+                gs_ceil = {int(kk): v for kk, v in json.load(f).items()}
+        else:
+            log("grouping_scale: exact-ADC ceiling (1024 queries, "
+                f"{GS_NB} codes) ...")
+            gs_ceil = exact_adc_ceiling_grouping(gsx, gsq, gsgt,
+                                                 ks=(1, 10, 100))
+            with open(p_ceil_gs, "w") as f:
+                json.dump({str(kk): v for kk, v in gs_ceil.items()}, f)
+        result.update({
+            "grouping_scale_nb": GS_NB, "grouping_scale_nc": GS_NC,
+            "grouping_scale_nsubc": NSUBC,
+            "grouping_scale_qps_nprobe128_mc100k": round(gs_qps, 1),
+            "grouping_scale_us_per_query": round(1e6 / gs_qps, 2),
+            "grouping_scale_us_per_query_single_launch": round(gs_sl_us, 2),
+            "grouping_scale_pipeline_depth": 8,
+            "grouping_scale_recall_at_1": round(gs_rec[1], 4),
+            "grouping_scale_recall_at_10": round(gs_rec[10], 4),
+            "grouping_scale_recall_at_100": round(gs_r100[100], 4),
+            "grouping_scale_ceiling_at_1": round(gs_ceil[1], 4),
+            "grouping_scale_ceiling_at_10": round(gs_ceil[10], 4),
+            "grouping_scale_ceiling_at_100": round(gs_ceil.get(100, 0.0), 4),
+            "grouping_scale_qps_pruning_off": round(gs_qps_off, 1),
+            "grouping_scale_us_per_query_pruning_off":
+                round(1e6 / gs_qps_off, 2),
+            "grouping_scale_recall_at_1_pruning_off":
+                round(gs_rec_off[1], 4),
+            "grouping_scale_recall_at_10_pruning_off":
+                round(gs_rec_off[10], 4),
+            "grouping_scale_build_seconds": gsmeta.get("build_seconds"),
+            "grouping_scale_alpha_pass_seconds":
+                gsmeta.get("alpha_pass_seconds"),
+            "grouping_scale_encode_pass_seconds":
+                gsmeta.get("encode_pass_seconds"),
+            "grouping_scale_assignment_mode": gsmeta.get("assignment_mode"),
+            "grouping_scale_routed_match_rate":
+                gsmeta.get("routed_match_rate"),
+            "grouping_scale_scan_slots_profiled": gs_dem,
+        })
+        gsx.release_device()
+        del gsx
+    except _StageSkipped:
+        pass
+    except Exception as e:
+        log(f"grouping_scale bench failed: {type(e).__name__}: {e}")
+        result["grouping_scale_error"] = str(e)[:200]
+    checkpoint("grouping_scale")
     gc.collect()
 
     # --- scale2: canonical list economics (128M vectors, ~1000 codes/list,

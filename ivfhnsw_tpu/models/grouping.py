@@ -260,11 +260,19 @@ class IVFADCGroupingIndex(IVFADCIndex):
     # Neighbor-centroid structure
     # ------------------------------------------------------------------
 
-    def compute_neighbor_centroids(self) -> None:
+    def compute_neighbor_centroids(self, precision=None) -> None:
         """Top-nsubc nearest centroids per centroid (the per-group
         searchKnn(centroid, nsubc+1) at IndexIVF_HNSW_Grouping.cpp:48), as
         one batched sweep. Also fills inter_centroid_dists (:620-631) since
-        they are exactly the neighbor distances."""
+        they are exactly the neighbor distances.
+
+        ``precision`` defaults to HIGHEST (f32-exact), which is fine at
+        nc<=2^14 but falls off the fast MXU path on TPU (measured ~360x
+        slower than HIGH for large sweeps — ops/distances.py); pass
+        jax.lax.Precision.HIGH for nc>=2^17 builds (3-pass bf16, 99.8%
+        argmin agreement with f32)."""
+        if precision is None:
+            precision = HIGHEST
         nn_d = np.empty((self.nc, self.nsubc), np.float32)
         nn_i = np.empty((self.nc, self.nsubc), np.int32)
         batch = max(1, 262144 // max(1, self.nsubc))
@@ -274,7 +282,7 @@ class IVFADCGroupingIndex(IVFADCIndex):
             d_, i_ = streaming_topk_l2(blk, self.centroids, self.nsubc + 1,
                                        block=self._cb(),
                                        point_sqnorms=self.centroid_norms,
-                                       precision=HIGHEST)
+                                       precision=precision)
             d_, i_ = np.asarray(d_), np.asarray(i_)
             # Drop self-matches robustly: remove the column equal to the row
             # id (falls back to dropping the nearest if absent).
@@ -387,6 +395,80 @@ class IVFADCGroupingIndex(IVFADCIndex):
         self.alpha_pass(x, keys)
         self.finalize_alphas()
         self.add_batch(x, xids, keys)
+
+    # ------------------------------------------------------------------
+    # Device-resident build (the tens-of-millions streamed-build path:
+    # vectors never cross host<->device — only keys/codes/norm codes,
+    # ~21 B/vector, reach the host builder. Mirrors
+    # IVFADCIndex.add_batch_device; needed because a 33M-vector grouping
+    # build over a tunneled device would otherwise move ~17 GB of f32
+    # vectors to the host per pass.)
+    # ------------------------------------------------------------------
+
+    def assign_batch_device(self, x_dev) -> np.ndarray:
+        """Nearest-centroid keys for a device batch (routed assigner when
+        enabled + gated, exact sweep otherwise). Returned as host int32 so
+        both passes of the streamed build can reuse one assignment."""
+        if getattr(self, "_fast_assigner", None) is not None:
+            return np.asarray(self._fast_assigner.assign_device(x_dev),
+                              np.int32)
+        return self._assign_device_exact(x_dev)
+
+    def alpha_pass_device(self, x_dev, keys, batch: int = 32768) -> None:
+        """Pass 1 on a device-resident batch: identical accumulation to
+        alpha_pass (compute_alpha, IndexIVF_HNSW_Grouping.cpp:691-728)
+        without the host round-trip of x. Sub-batched so the [b, nsubc, d]
+        intermediates stay ~1 GB."""
+        self._require_neighbors()
+        keys_dev = jnp.asarray(np.asarray(keys, np.int32))
+        n = int(x_dev.shape[0])
+        for off in range(0, n, batch):
+            num, den = _alpha_stats(
+                x_dev[off:off + batch], keys_dev[off:off + batch],
+                self.centroids, self.nn_centroid_idxs,
+                self.inter_centroid_dists)
+            self._alpha_num += np.asarray(num, np.float64)
+            self._alpha_den += np.asarray(den, np.float64)
+
+    def add_batch_device(self, x_dev, xids=None, precomputed_idx=None,
+                         batch: int = 32768) -> None:
+        """Pass 2 on a device-resident batch: subcentroid assignment with
+        final alphas + residual-vs-subcentroid encode, all on device
+        (add_group encode pipeline, IndexIVF_HNSW_Grouping.cpp:90-156)."""
+        if self.alphas is None:
+            raise RuntimeError("call alpha_pass(...) on all data then "
+                               "finalize_alphas() before add_batch_device")
+        n = int(x_dev.shape[0])
+        keys = (np.asarray(precomputed_idx, np.int32)
+                if precomputed_idx is not None
+                else self.assign_batch_device(x_dev))
+        if xids is None:
+            xids = np.arange(self.builder.ntotal,
+                             self.builder.ntotal + n, dtype=np.int32)
+        xids = np.asarray(xids, np.int32)
+        keys_dev = jnp.asarray(keys)
+        for off in range(0, n, batch):
+            xb = x_dev[off:off + batch]
+            kb = keys_dev[off:off + batch]
+            subc, s_star = _subcentroid_assign(
+                xb, kb, self.centroids, self.nn_centroid_idxs, self.alphas)
+            residuals = xb - s_star
+            if self.do_opq:
+                residuals = opq_ops.apply_rotation(residuals, self.opq_R)
+            codes = self.pq.encode(residuals)
+            decoded = self.pq.decode(codes)
+            if self.do_opq:
+                decoded = opq_ops.apply_rotation_transpose(decoded,
+                                                           self.opq_R)
+            recon = decoded + s_star
+            norms = jnp.sum(recon ** 2, axis=1)
+            norm_codes = self.norm_pq.encode(norms)
+            flat_keys = (keys[off:off + batch].astype(np.int64)
+                         * self.nsubc
+                         + np.asarray(subc)).astype(np.int32)
+            self.builder.add(flat_keys, xids[off:off + batch],
+                             np.asarray(codes), np.asarray(norm_codes))
+        self.store = None
 
     # ------------------------------------------------------------------
     # PQ training (train_pq, IndexIVF_HNSW_Grouping.cpp:486-618)

@@ -263,3 +263,53 @@ def test_search_disk_pads_short_candidates(tmp_path):
     for i in range(3):
         n_fin = np.isfinite(dd[i]).sum()
         assert (ll[i, n_fin:] == -1).all()
+
+
+def test_device_build_matches_host_build(built):
+    """alpha_pass_device/add_batch_device (the streamed tens-of-millions
+    build path) produce the same alphas, store layout, and codes as the
+    host add() pipeline — only the transfer pattern differs."""
+    import jax.numpy as jnp
+
+    host_idx, base, queries, gt = built
+    cfg = IndexConfig(d=32, nc=32, code_size=8, nsubc=8)
+    dev = IVFADCGroupingIndex(cfg)
+    dev.set_centroids(np.asarray(host_idx.centroids))
+    dev.nn_centroid_idxs = host_idx.nn_centroid_idxs
+    dev.inter_centroid_dists = host_idx.inter_centroid_dists
+    dev.pq = host_idx.pq
+    dev.norm_pq = host_idx.norm_pq
+    dev.opq_R = host_idx.opq_R
+
+    x_dev = jnp.asarray(base)
+    bs = 2048
+    key_blocks = []
+    for off in range(0, base.shape[0], bs):
+        keys = dev.assign_batch_device(x_dev[off:off + bs])
+        key_blocks.append(keys)
+        dev.alpha_pass_device(x_dev[off:off + bs], keys)
+    dev.finalize_alphas()
+    np.testing.assert_allclose(np.asarray(dev.alphas),
+                               np.asarray(host_idx.alphas), rtol=1e-5)
+    for bi, off in enumerate(range(0, base.shape[0], bs)):
+        dev.add_batch_device(x_dev[off:off + bs],
+                             np.arange(off, min(off + bs, base.shape[0]),
+                                       dtype=np.int32),
+                             precomputed_idx=key_blocks[bi])
+    dev.finalize()
+
+    hs, ds = host_idx._ensure_store(), dev._ensure_store()
+    np.testing.assert_array_equal(np.asarray(hs.list_offsets),
+                                  np.asarray(ds.list_offsets))
+    np.testing.assert_array_equal(np.asarray(hs.ids), np.asarray(ds.ids))
+    np.testing.assert_array_equal(np.asarray(hs.codes), np.asarray(ds.codes))
+    # Norm codes may flip by one quantizer step on near-ties: the device
+    # path jits at different batch shapes, so the reconstruction-norm
+    # matmuls tile differently (ULP-level float drift at the bin edge).
+    np.testing.assert_allclose(np.asarray(hs.norm_codes, np.int16),
+                               np.asarray(ds.norm_codes, np.int16), atol=1)
+
+    p = SearchParams(k=5, nprobe=8, max_codes=3000, do_pruning=True)
+    dh, lh = host_idx.search(queries, p)
+    dd, ld = dev.search(queries, p)
+    np.testing.assert_array_equal(np.asarray(lh), np.asarray(ld))
