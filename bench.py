@@ -2336,6 +2336,38 @@ def main():
             # artifact), never a committed-record read.
             stages_done.append("build_1b")
 
+    # --- 1B search (tools/search_1b.py writes this artifact — the
+    # sequential shard-streamed search over the 1B spill with
+    # parallel/sharded.py's merge math; VERDICT r4 item 5). Report-only,
+    # same provenance discipline as build_1b.
+    p_s1b = os.path.join(CACHE, "search1b.json")
+    src_s1b = "cache"
+    if not os.path.exists(p_s1b):
+        p_s1b = os.path.join(ROOT, "RESULTS_SEARCH1B.json")
+        src_s1b = "committed-record"
+    if os.path.exists(p_s1b):
+        with open(p_s1b) as f:
+            s1 = json.load(f)
+        result.update({
+            "search_1b_nb": s1.get("nb"),
+            "search_1b_shards": s1.get("shards"),
+            "search_1b_nprobe": s1.get("nprobe"),
+            "search_1b_max_codes": s1.get("max_codes"),
+            "search_1b_recall_at_1": s1.get("recall_at_1"),
+            "search_1b_recall_at_10": s1.get("recall_at_10"),
+            "search_1b_recall_at_100": s1.get("recall_at_100"),
+            "search_1b_us_per_query_total": s1.get("us_per_query_total"),
+            "search_1b_qps_effective": s1.get("qps_effective"),
+            "search_1b_coarse_seconds": s1.get("coarse_seconds"),
+            "search_1b_per_shard_us_per_query": [
+                p.get("us_per_query") for p in s1.get("per_shard", [])],
+            "search_1b_source": src_s1b,
+        })
+        if src_s1b == "committed-record":
+            result["search_1b_recorded_at"] = s1.get("recorded_at")
+        else:
+            stages_done.append("search_1b")
+
     # --- primary build + timed runs (device-resident serving path; the CPU
     # baseline has no transfer cost either — its data sits in RAM. The
     # dev-tunnel's H2D is ~20 us/query of environment artifact, reported
@@ -2704,6 +2736,42 @@ def main():
             ovl_sl = coarse_overlap_control(slx, slxq, top_np)
             with open(p_ovl_sl, "w") as f:
                 json.dump({"overlap": ovl_sl}, f)
+        # Probe-coverage curve (the decomposition's verdict): the R@100
+        # gap at nprobe=128 is NOT approx-coarse loss or budget truncation
+        # (exact-coarse and unlimited-budget recall match to ±0.001) —
+        # the true NN's centroid ranks beyond the top-128 probes for
+        # ~22% of queries on this corpus. nprobe is the knob that buys it
+        # back (the reference's own G+P operating point raises nprobe to
+        # 210, run_sift1b_grouping_OPQ.sh:39-48); this curve records the
+        # price of each step toward the ceiling.
+        p_cov = os.path.join(CACHE, "scale3sl", "coverage.json")
+        if os.path.exists(p_cov):
+            with open(p_cov) as f:
+                cov_curve = json.load(f)
+        else:
+            cov_curve = []
+            for np_c in (210, 256, 384, 512):
+                log(f"scale3sl: probe-coverage point nprobe={np_c} ...")
+                spc = SearchParams(k=100, nprobe=np_c, max_codes=top_mc)
+                dem_c = int(slx.scan_slot_demand(slxq, spc).max())
+                spc = SearchParams(k=100, nprobe=np_c, max_codes=top_mc,
+                                   scan_budget=dem_c * slx.scan_unit())
+                t0c = time.perf_counter()
+                _, lc = slx.search(slxq, spc, batch=256)
+                us_c = (time.perf_counter() - t0c) * 1e6 / slxq.shape[0]
+                rc_ = recall_at_k(lc, slxgt, ks=(1, 10, 100))
+                cov_curve.append({
+                    "nprobe": np_c, "max_codes": top_mc,
+                    "recall_at_1": round(rc_[1], 4),
+                    "recall_at_10": round(rc_[10], 4),
+                    "recall_at_100": round(rc_[100], 4),
+                    "us_per_query_unpipelined": round(us_c, 1)})
+            with open(p_cov, "w") as f:
+                json.dump(cov_curve, f)
+        result["scale3sl_r100_nprobe_curve"] = cov_curve
+        if cov_curve:
+            best_cov = max(c["recall_at_100"] for c in cov_curve)
+            result["scale3sl_recall_at_100_best_nprobe"] = best_cov
         # Assignment provenance (VERDICT r4 item 4): routed_match_rate is
         # the PRE-BUILD gate measurement, not what the build used — the
         # 0.98 gate fell back to exact assignment when it fired, so the
