@@ -68,7 +68,9 @@ def _publish(meta, processed: int, target: int, seconds: float,
     # Mirror completed runs to the committed RESULTS_1B.json so the record
     # survives workspace re-checkouts that wipe .bench_cache (bench.py
     # falls back to it, labeled build_1b_source='committed-record').
-    if not partial:
+    # NEVER from smoke/CI runs: a tiny-target rehearsal must not clobber
+    # the real 1B record (it did once — this guard is the fix).
+    if not partial and not bench.SMOKE and target >= 100_000_000:
         p2 = os.path.join(bench.ROOT, "RESULTS_1B.json")
         with open(p2 + ".tmp", "w") as f:
             json.dump(out, f, indent=1)

@@ -221,11 +221,14 @@ def main():
     with open(p + ".tmp", "w") as f:
         json.dump(out, f)
     os.replace(p + ".tmp", p)
-    p2 = os.path.join(bench.ROOT, "RESULTS_SEARCH1B.json")
-    out["recorded_at"] = time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime())
-    with open(p2 + ".tmp", "w") as f:
-        json.dump(out, f, indent=1)
-    os.replace(p2 + ".tmp", p2)
+    # Committed-record mirror — never from smoke/CI rehearsals (a tiny
+    # run must not clobber the real 1B search record).
+    if not bench.SMOKE and ntotal >= 100_000_000:
+        p2 = os.path.join(bench.ROOT, "RESULTS_SEARCH1B.json")
+        out["recorded_at"] = time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime())
+        with open(p2 + ".tmp", "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(p2 + ".tmp", p2)
 
 
 if __name__ == "__main__":
