@@ -560,6 +560,11 @@ class IVFADCIndex:
                 from ivfhnsw_tpu.ops.routed_coarse import routed_select_ext
                 _, probes, *_ = routed_select_ext(
                     blk, *routed, nprobe=nprobe, w=rw)
+            elif self._coarse_approx(params) == "binned":
+                _, probes = streaming_topk_l2(
+                    blk, self.centroids, nprobe, block=self._cb(),
+                    point_sqnorms=self.centroid_norms,
+                    precision=ARGMIN_PRECISION, exact_reduce="binned")
             elif self._coarse_approx(params):
                 _, probes = streaming_topk_l2(
                     blk, self.centroids, nprobe, block=self._cb(),
@@ -580,12 +585,17 @@ class IVFADCIndex:
             out[off:off + batch] = tcnt.sum(axis=1)
         return out
 
-    def _coarse_approx(self, params: SearchParams) -> bool:
+    def _coarse_approx(self, params: SearchParams):
         """Resolve the coarse probe-selection mode (SearchParams.coarse_mode):
-        exact lax.top_k for small centroid sets, approx_min_k above 16384
-        centroids under "auto" (measured crossover — see
-        ops.distances.streaming_topk_l2)."""
+        False = exact lax.top_k (small centroid sets), True = approx_min_k,
+        "binned" = the EXACT 3-pass bin-min reduction
+        (ops.topk.binned_topk_smallest — bandwidth-bound wide pass, exact
+        probe sets). "auto" above 16384 centroids picks approx_min_k
+        (measured crossover — see ops.distances.streaming_topk_l2); pass
+        coarse_mode="binned" for exact probe sets at approx-like cost."""
         mode = getattr(params, "coarse_mode", "auto")
+        if mode == "binned":
+            return "binned"
         approx = mode == "approx" or (mode == "auto" and self.nc > 16384)
         if approx and mode == "auto" and not getattr(
                 self, "_warned_auto_approx", False):

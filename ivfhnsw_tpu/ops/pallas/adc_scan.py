@@ -955,10 +955,15 @@ def pallas_search_core(queries, centroids, centroid_norms, codebooks,
         st, sl, sb = _probe_schedule_fields(sz_f, toff_f, term1,
                                             max_codes, nch, gran)
     else:
+        # coarse_approx is a tri-state static: False = exact lax.top_k,
+        # True = approx_min_k, "binned" = the EXACT 3-pass bin-min
+        # reduction (ops.topk.binned_topk_smallest) whose wide pass is
+        # bandwidth-bound instead of sort-bound.
         qc_dists, probes = streaming_topk_l2(
             queries, centroids, nprobe, block=coarse_block,
             point_sqnorms=centroid_norms, precision=precision,
-            approx=coarse_approx, recall_target=coarse_recall)
+            approx=coarse_approx is True, recall_target=coarse_recall,
+            exact_reduce="binned" if coarse_approx == "binned" else "topk")
         st, sl, sb = _probe_schedule(probes, qc_dists, centroid_norms,
                                      tile_offsets, list_sizes, max_codes,
                                      nch, gran)

@@ -288,3 +288,25 @@ def test_tiny_scan_budget_truncates_farthest(built):
     # Truncation only removes candidates: each query's best truncated
     # distance can never beat its best full-scan distance.
     assert (dt[:, 0] >= df[:, 0] - 1e-5).all()
+
+
+def test_coarse_binned_matches_exact(built):
+    """coarse_mode='binned' (the 3-pass bin-min reduction) is an EXACT
+    probe selection: end-to-end results match coarse_mode='exact' through
+    the fused engine (modulo equal-distance tie labels)."""
+    idx, queries = built
+    prev = idx.engine
+    try:
+        idx.engine = "pallas_interpret"
+        p_ex = SearchParams(k=10, nprobe=8, max_codes=3000,
+                            coarse_mode="exact")
+        d1, l1 = idx.search(queries, p_ex)
+        p_bn = SearchParams(k=10, nprobe=8, max_codes=3000,
+                            coarse_mode="binned")
+        d2, l2 = idx.search(queries, p_bn)
+    finally:
+        idx.engine = prev
+    assert_same(d1, l1, d2, l2)
+    # scan_slot_demand follows the same mode without error
+    dem = idx.scan_slot_demand(queries, p_bn)
+    assert (dem > 0).all()
