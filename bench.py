@@ -2772,6 +2772,31 @@ def main():
         if cov_curve:
             best_cov = max(c["recall_at_100"] for c in cov_curve)
             result["scale3sl_recall_at_100_best_nprobe"] = best_cov
+        # Routed-vs-exact assignment A/B (VERDICT r4 item 4,
+        # tools/assign_ab.py): what routed assignment WOULD cost on this
+        # corpus if the 0.98 gate didn't fall back to exact. Also
+        # populates the drift field: the flagship build is exact-assigned
+        # (monitor off by construction), so the in-stream router-health
+        # series from the A/B twin carries the routed-vs-exact match
+        # rate over the same corpus stream.
+        p_ab = os.path.join(CACHE, "assign_ab.json")
+        src_ab = "cache"
+        if not os.path.exists(p_ab):
+            p_ab = os.path.join(ROOT, "RESULTS_ASSIGN_AB.json")
+            src_ab = "committed-record"
+        if os.path.exists(p_ab):
+            with open(p_ab) as f:
+                ab = json.load(f)
+            result["scale3sl_assign_ab"] = {
+                "nb": ab.get("nb"), "nc": ab.get("nc"),
+                "source": src_ab,
+                "variants": {v: {kk: x for kk, x in e.items()
+                                 if kk != "drift_series"}
+                             for v, e in ab.get("variants", {}).items()}}
+            ab_drift_min = ab.get("variants", {}).get(
+                "routed_w4", {}).get("drift_min_match_rate")
+        else:
+            ab_drift_min = None
         # Assignment provenance (VERDICT r4 item 4): routed_match_rate is
         # the PRE-BUILD gate measurement, not what the build used — the
         # 0.98 gate fell back to exact assignment when it fired, so the
@@ -2815,6 +2840,16 @@ def main():
                 round(min(d["match_rate"] for d in drift), 4)
                 if drift else None),
         })
+        if (result["scale3sl_drift_min_match_rate"] is None
+                and ab_drift_min is not None):
+            # Build is exact-assigned (gate fired), so its own drift
+            # monitor never ran; carry the A/B twin's in-stream
+            # router-health series instead, with explicit provenance.
+            result["scale3sl_drift_min_match_rate"] = ab_drift_min
+            result["scale3sl_drift_source"] = (
+                "assign_ab router-health probe (build itself is "
+                "exact-assigned; routed monitor measured on the same "
+                "corpus stream)")
         slx.release_device()
         del slx
     except _StageSkipped:
