@@ -3244,6 +3244,30 @@ def main():
     os.replace(tmp, last)
     print(json.dumps(result), flush=True)
 
+    # --- Post-artifact cache warming (VERDICT r4 item 8): the artifact is
+    # already emitted and checkpointed, so any leftover budget goes to
+    # warming the NEXT run's most expensive skipped stages (each warm
+    # build checkpoints per sub-artifact, so even a SIGTERM mid-warm
+    # leaves the cache warmer than this run found it; the signal handler
+    # re-emits the same complete JSON as the new last stdout line).
+    try:
+        leftover = budget_s - (time.perf_counter() - t_start)
+        warm_order = [s for s in ("scale3sl", "scale4", "scale2", "scale3")
+                      if s not in stages_done]
+        if not SMOKE and stage_filter is None and warm_order \
+                and leftover > 600:
+            sys.path.insert(0, os.path.join(ROOT, "tools"))
+            import warm_cache as _wc
+            for st in warm_order:
+                leftover = budget_s - (time.perf_counter() - t_start)
+                if leftover < 600:
+                    break
+                log(f"post-artifact warm: {st} "
+                    f"({leftover:.0f}s budget left)")
+                _wc.warm(st, key)
+    except Exception as e:
+        log(f"post-artifact warming stopped: {type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()
