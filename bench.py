@@ -2306,8 +2306,33 @@ def main():
     # re-checkouts that wipe .bench_cache) and say so via build_1b_source.
     p_1b = os.path.join(CACHE, "build1b.json")
     src_1b = "cache"
+    p_1b_rec = os.path.join(ROOT, "RESULTS_1B.json")
+    if os.path.exists(p_1b) and os.path.exists(p_1b_rec):
+        # A PARTIAL fresh spill (a budget-bounded in-session run) must not
+        # hide the committed FULL 1B build record: keep the full record as
+        # the headline build_1b_* fields and surface the fresh partial run
+        # under its own prefix so both facts are visible.
+        try:
+            with open(p_1b) as f:
+                fresh1b = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            fresh1b = None
+        if fresh1b and fresh1b.get("partial"):
+            with open(p_1b_rec) as f:
+                rec1b = json.load(f)
+            if rec1b.get("processed", 0) > fresh1b.get("processed", 0):
+                result.update({
+                    "build_1b_latest_partial_vectors":
+                        fresh1b.get("processed"),
+                    "build_1b_latest_partial_seconds":
+                        fresh1b.get("build_seconds"),
+                    "build_1b_latest_partial_vectors_per_sec":
+                        fresh1b.get("vectors_per_sec"),
+                })
+                p_1b = p_1b_rec
+                src_1b = "committed-record"
     if not os.path.exists(p_1b):
-        p_1b = os.path.join(ROOT, "RESULTS_1B.json")
+        p_1b = p_1b_rec
         src_1b = "committed-record"
     if os.path.exists(p_1b):
         with open(p_1b) as f:

@@ -225,10 +225,22 @@ def main():
     # run must not clobber the real 1B search record).
     if not bench.SMOKE and ntotal >= 100_000_000:
         p2 = os.path.join(bench.ROOT, "RESULTS_SEARCH1B.json")
-        out["recorded_at"] = time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime())
-        with open(p2 + ".tmp", "w") as f:
-            json.dump(out, f, indent=1)
-        os.replace(p2 + ".tmp", p2)
+        prior_nb = 0
+        if os.path.exists(p2):
+            try:
+                with open(p2) as f:
+                    prior_nb = json.load(f).get("nb", 0)
+            except (json.JSONDecodeError, OSError):
+                pass
+        # Monotone record: a smaller-corpus rerun (e.g. a partial spill
+        # searched after a budget-bounded build) must not clobber a
+        # fuller search record.
+        if ntotal >= prior_nb:
+            out["recorded_at"] = time.strftime("%Y-%m-%dT%H:%MZ",
+                                               time.gmtime())
+            with open(p2 + ".tmp", "w") as f:
+                json.dump(out, f, indent=1)
+            os.replace(p2 + ".tmp", p2)
 
 
 if __name__ == "__main__":
