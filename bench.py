@@ -2781,6 +2781,10 @@ def main():
                 dem_c = int(slx.scan_slot_demand(slxq, spc).max())
                 spc = SearchParams(k=100, nprobe=np_c, max_codes=top_mc,
                                    scan_budget=dem_c * slx.scan_unit())
+                # Warm pass first: each nprobe point is a fresh jit
+                # config, and timing its compile would report ~7000 us/q
+                # of XLA compilation as if it were search cost.
+                _, lc = slx.search(slxq[:256], spc, batch=256)
                 t0c = time.perf_counter()
                 _, lc = slx.search(slxq, spc, batch=256)
                 us_c = (time.perf_counter() - t0c) * 1e6 / slxq.shape[0]
