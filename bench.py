@@ -2801,6 +2801,14 @@ def main():
         if cov_curve:
             best_cov = max(c["recall_at_100"] for c in cov_curve)
             result["scale3sl_recall_at_100_best_nprobe"] = best_cov
+        # Coarse-reduction timed A/B (VERDICT r4 item 6,
+        # tools/coarse_ab.py): approx_min_k vs binned-exact full-path
+        # timing + probe overlap on this index, reported when the rig
+        # has been run (report-only — the rig is minutes of chip time).
+        p_cab = os.path.join(CACHE, "coarse_ab.json")
+        if os.path.exists(p_cab):
+            with open(p_cab) as f:
+                result["scale3sl_coarse_ab"] = json.load(f)
         # Routed-vs-exact assignment A/B (VERDICT r4 item 4,
         # tools/assign_ab.py): what routed assignment WOULD cost on this
         # corpus if the 0.98 gate didn't fall back to exact. Also
