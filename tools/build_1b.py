@@ -297,6 +297,11 @@ def main():
     el = time.time() - t0
     total_s = base_s + el
     gt_checkpoint(gt_done)
+    # Persist the final elapsed: a later same-target rerun (the clean
+    # "catch up groundtruth, republish" invocation) resumes with
+    # base_s = the true build cost instead of 0 and publishes an honest
+    # vectors_per_sec.
+    meta["seconds_so_far"] = round(total_s, 1)
     meta["gt_nq"] = NQ_GT
     meta["spill_bytes"] = sum(
         os.path.getsize(os.path.join(args.workdir, n))
