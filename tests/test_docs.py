@@ -128,6 +128,36 @@ def test_estimate_stage_need_partial_cache_discounts(monkeypatch, tmp_path):
     assert bench.estimate_stage_need(probe, 7100, 700, disc) == (True, 700)
 
 
+def test_warm_reserve_counts_pending_cached_flagships(monkeypatch,
+                                                      tmp_path):
+    """Cold early stages must hold back the warm-run cost of every
+    still-pending fully-cached flagship stage, so a driver budget that
+    can measure the warm flagships always does (r04 verdict weak #7).
+    Decided (ran/skipped) stages and the candidate itself don't count,
+    and a wiped cache reserves nothing."""
+    sys.path.insert(0, ROOT)
+    import bench
+
+    monkeypatch.setattr(bench, "CACHE", str(tmp_path))
+    # Wiped cache: zero reserve — pre-reserve ordering.
+    assert bench.warm_reserve("primary", set()) == 0.0
+    # scale3sl + grouping_scale fully cached -> both reserved.
+    for d, files in (("scale3sl", ("sl.index", "ceiling.json")),
+                     ("grouping_scale", ("gs.index", "ceiling.json"))):
+        (tmp_path / d).mkdir()
+        for f in files:
+            (tmp_path / d / f).write_bytes(b"")
+    assert bench.warm_reserve("primary", set()) == 1300.0
+    # A partially-cached stage (index without ceiling) reserves nothing.
+    (tmp_path / "scale4").mkdir()
+    (tmp_path / "scale4" / "s4.index").write_bytes(b"")
+    assert bench.warm_reserve("primary", set()) == 1300.0
+    # The candidate itself and already-decided stages are excluded.
+    assert bench.warm_reserve("scale3sl", set()) == 600.0
+    assert bench.warm_reserve("primary", {"grouping_scale"}) == 700.0
+    assert bench.warm_reserve("scale3sl", {"grouping_scale"}) == 0.0
+
+
 def _seed_smoke_cache(tmp_path):
     """Copy the committed warm .bench_cache_smoke artifacts into the test's
     isolated cache dir: keeps subprocess isolation (CI runs can't clobber
