@@ -3340,7 +3340,8 @@ def main():
     # re-emits the same complete JSON as the new last stdout line).
     try:
         leftover = budget_s - (time.perf_counter() - t_start)
-        warm_order = [s for s in ("scale3sl", "scale4", "scale2", "scale3")
+        warm_order = [s for s in ("scale3sl", "grouping_scale", "scale4",
+                                  "scale2", "scale3")
                       if s not in stages_done]
         if not SMOKE and stage_filter is None and warm_order \
                 and leftover > 600:

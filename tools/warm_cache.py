@@ -13,7 +13,7 @@ quantizers, index, groundtruth, ceiling) is persisted and reused on the
 next invocation, so repeated runs converge on a fully warm cache.
 
 Usage: python tools/warm_cache.py [stage ...]
-  default stage order: scale3sl scale4 scale2 scale3
+  default stage order: scale3sl grouping_scale scale4 scale2 scale3
 """
 import gc
 import json
@@ -57,7 +57,8 @@ def warm(stage: str, key) -> None:
 
 def main():
     import jax
-    stages = sys.argv[1:] or ["scale3sl", "scale4", "scale2", "scale3"]
+    stages = sys.argv[1:] or ["scale3sl", "grouping_scale", "scale4",
+                              "scale2", "scale3"]
     # Stamp the corpus version like bench main would: without it, the next
     # bench.py run sees a version mismatch and WIPES the warmed cache.
     os.makedirs(bench.CACHE, exist_ok=True)
