@@ -2368,9 +2368,13 @@ def main():
                 fresh1b = json.load(f)
         except (json.JSONDecodeError, OSError):
             fresh1b = None
-        if fresh1b and fresh1b.get("partial"):
+        if fresh1b:
             with open(p_1b_rec) as f:
                 rec1b = json.load(f)
+            # Monotone in PROCESSED, not the partial flag: a bounded
+            # in-session run that cleanly completed a sub-1B --target
+            # publishes partial=false yet must still not displace the
+            # committed full-1B record.
             if rec1b.get("processed", 0) > fresh1b.get("processed", 0):
                 result.update({
                     "build_1b_latest_partial_vectors":

@@ -83,6 +83,35 @@ def test_bench_zero_budget_run_emits_complete_backfilled_artifact(tmp_path):
     assert res["build_1b_source"] == "committed-record"
 
 
+def test_bench_partial_1b_spill_never_displaces_full_record(tmp_path):
+    """A bounded in-session 1B build that cleanly completed a sub-1B
+    --target publishes partial=false — the headline build_1b_* fields
+    must STILL be the committed full-1B record (monotone in processed,
+    not the partial flag), with the fresh run surfaced under
+    build_1b_latest_partial_*."""
+    import json
+    fresh = {"processed": 700_000_000, "target": 700_000_000,
+             "build_seconds": 7000.0, "vectors_per_sec": 100_000.0,
+             "fraction_of_1b": 0.7, "partial": False, "resumes": 1,
+             "match_rate": 0.9996, "drift_series": []}
+    with open(tmp_path / "build1b.json", "w") as f:
+        json.dump(fresh, f)
+    # Stamp the corpus version like warm_cache/bench would: an unstamped
+    # cache dir is version-wiped at startup, deleting the fixture.
+    sys.path.insert(0, ROOT)
+    import bench
+    (tmp_path / "corpus_version").write_text(str(bench.CORPUS_VERSION))
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_BUDGET_S="0",
+               BENCH_CACHE_DIR=str(tmp_path))
+    r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                       capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().split("\n")[-1])
+    assert res["build_1b_vectors"] == 1_000_000_000
+    assert res["build_1b_source"] == "committed-record"
+    assert res["build_1b_latest_partial_vectors"] == 700_000_000
+
+
 def test_bench_wedged_device_with_no_checkpoint_backfills(monkeypatch,
                                                           capsys, tmp_path):
     """The device-unhealthy path with NO cached checkpoint must emit the
