@@ -2431,6 +2431,10 @@ def main():
         result.update({
             "search_1b_nb": s1.get("nb"),
             "search_1b_shards": s1.get("shards"),
+            "search_1b_shards_done": s1.get("shards_done",
+                                            s1.get("shards")),
+            "search_1b_partial": s1.get("partial", False),
+            "search_1b_codes_covered": s1.get("codes_covered"),
             "search_1b_nprobe": s1.get("nprobe"),
             "search_1b_max_codes": s1.get("max_codes"),
             "search_1b_recall_at_1": s1.get("recall_at_1"),

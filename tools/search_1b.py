@@ -194,6 +194,32 @@ def main():
         import gc
         gc.collect()
 
+        # Progressive publish: a run cut short by a wall clock or a
+        # device stall still leaves the shards it DID stream as a
+        # parseable artifact. The cumulative merge over shards 0..s is a
+        # search of the sub-corpus those centroid ranges own
+        # (codes_covered says how much), and its recall vs the full
+        # groundtruth is a lower bound that reaches the full-corpus
+        # number when shards_done == shards.
+        sel_p = np.lexsort((all_l, all_d), axis=1)[:, :k]
+        rec_p = recall_at_k(np.take_along_axis(all_l, sel_p, axis=1),
+                            gt, ks=(1, 10, 100))
+        prog = {
+            "nb": ntotal, "nc": nc, "shards": S,
+            "shards_done": s + 1, "partial": s + 1 < S, "nq": nq,
+            "nprobe": nprobe, "max_codes": args.max_codes, "k": k,
+            "codes_covered": int(sum(p["codes"] for p in per_shard)),
+            "recall_at_1": round(rec_p[1], 4),
+            "recall_at_10": round(rec_p[10], 4),
+            "recall_at_100": round(rec_p[100], 4),
+            "coarse_seconds": round(coarse_s, 1),
+            "per_shard": per_shard,
+        }
+        p_prog = os.path.join(bench.CACHE, "search1b.json")
+        with open(p_prog + ".tmp", "w") as f:
+            json.dump(prog, f)
+        os.replace(p_prog + ".tmp", p_prog)
+
     # --- Phase 3: global top-k merge, (distance, label) tiebreak
     # (sharded.py phase 5 / utils.cpp:193-202).
     sel = np.lexsort((all_l, all_d), axis=1)[:, :k]
@@ -202,7 +228,10 @@ def main():
     rec = recall_at_k(fin_l, gt, ks=(1, 10, 100))
     total_search = sum(p["search_seconds"] for p in per_shard)
     out = {
-        "nb": ntotal, "nc": nc, "shards": S, "nq": nq,
+        "nb": ntotal, "nc": nc, "shards": S, "shards_done": S,
+        "partial": False,
+        "codes_covered": int(sum(p["codes"] for p in per_shard)),
+        "nq": nq,
         "nprobe": nprobe, "max_codes": args.max_codes, "k": k,
         "recall_at_1": round(rec[1], 4),
         "recall_at_10": round(rec[10], 4),
