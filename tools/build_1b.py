@@ -72,9 +72,21 @@ def _publish(meta, processed: int, target: int, seconds: float,
     # the real 1B record (it did once — this guard is the fix).
     if not partial and not bench.SMOKE and target >= 100_000_000:
         p2 = os.path.join(bench.ROOT, "RESULTS_1B.json")
-        with open(p2 + ".tmp", "w") as f:
-            json.dump(out, f, indent=1)
-        os.replace(p2 + ".tmp", p2)
+        # Monotone in processed: a bounded sub-1B run (e.g. a wall-clock
+        # -bounded --target with a groundtruth catch-up rerun) must not
+        # displace a fuller committed record (it did once — round-5
+        # catch-up at 398M overwrote the round-3 full-1B record).
+        prior = 0
+        if os.path.exists(p2):
+            try:
+                with open(p2) as f:
+                    prior = json.load(f).get("processed", 0)
+            except (json.JSONDecodeError, OSError):
+                pass
+        if processed >= prior:
+            with open(p2 + ".tmp", "w") as f:
+                json.dump(out, f, indent=1)
+            os.replace(p2 + ".tmp", p2)
 
 
 def main():
